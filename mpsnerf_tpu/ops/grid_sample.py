@@ -1,0 +1,112 @@
+"""Bilinear image / volume sampling at continuous coordinates.
+
+Behavioral reference: the custom differentiable ``grid_sample`` at
+``/root/reference/lib/encoder.py:12-62`` — align_corners=True semantics with
+bilinear weights computed from the *unclamped* position and gather indices
+clamped to the border (border-replicate extrapolation), and the pixel-aligned
+``SpatialEncoder.index`` at ``lib/encoder.py:225-253``.
+
+On TPU this lowers to gathers + fused elementwise; the feature-channel gather
+is the bandwidth hog and XLA handles it well at these sizes.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def grid_sample_2d(image: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
+    """Sample ``image`` (V, C, H, W) at normalized coords (V, N, 2) in [-1,1].
+
+    coords[..., 0] is x (width axis), coords[..., 1] is y — matching the
+    reference layout.  Returns (V, C, N).
+    """
+    v, c, h, w = image.shape
+    ix = (coords[..., 0] + 1.0) * 0.5 * (w - 1)  # (V, N)
+    iy = (coords[..., 1] + 1.0) * 0.5 * (h - 1)
+
+    ix0 = jnp.floor(ix)
+    iy0 = jnp.floor(iy)
+    ix1 = ix0 + 1.0
+    iy1 = iy0 + 1.0
+
+    # bilinear weights from the unclamped positions (ref lines 31-34)
+    w_nw = (ix1 - ix) * (iy1 - iy)
+    w_ne = (ix - ix0) * (iy1 - iy)
+    w_sw = (ix1 - ix) * (iy - iy0)
+    w_se = (ix - ix0) * (iy - iy0)
+
+    def clampi(a, hi):
+        return jnp.clip(a, 0, hi).astype(jnp.int32)
+
+    x0, x1 = clampi(ix0, w - 1), clampi(ix1, w - 1)
+    y0, y1 = clampi(iy0, h - 1), clampi(iy1, h - 1)
+
+    flat = image.reshape(v, c, h * w)
+
+    def gather(yy, xx):
+        lin = yy * w + xx  # (V, N)
+        return jnp.take_along_axis(flat, lin[:, None, :], axis=2)  # (V, C, N)
+
+    out = (
+        gather(y0, x0) * w_nw[:, None, :]
+        + gather(y0, x1) * w_ne[:, None, :]
+        + gather(y1, x0) * w_sw[:, None, :]
+        + gather(y1, x1) * w_se[:, None, :]
+    )
+    return out
+
+
+def index_features(
+    latent: jnp.ndarray, uv: jnp.ndarray, image_size
+) -> jnp.ndarray:
+    """Pixel-aligned feature lookup (``SpatialEncoder.index`` equivalent).
+
+    latent: (V, C, Hl, Wl) feature maps; uv: (V, N, 2) *pixel* coords in the
+    original image frame; image_size: (W, H) of the original image.  The uv
+    is normalized against the full image, then sampled with align_corners
+    scaling against the (smaller) latent resolution — exactly the reference's
+    two-step normalization.
+    """
+    size = jnp.asarray(image_size, uv.dtype)
+    coords = 2.0 * uv / size - 1.0
+    return grid_sample_2d(latent, coords)
+
+
+def grid_sample_3d(volume: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
+    """Trilinear sampling of ``volume`` (C, D, H, W) at (N, 3) normalized
+    coords in [-1, 1], ordered (x, y, z) = (W, H, D) like torch grid_sample.
+
+    align_corners=True, zero padding (matches ``F.grid_sample`` use at
+    ``lib/encoder.py:415``).  Returns (C, N).
+    """
+    c, d, h, w = volume.shape
+    ix = (coords[..., 0] + 1.0) * 0.5 * (w - 1)
+    iy = (coords[..., 1] + 1.0) * 0.5 * (h - 1)
+    iz = (coords[..., 2] + 1.0) * 0.5 * (d - 1)
+
+    x0f, y0f, z0f = jnp.floor(ix), jnp.floor(iy), jnp.floor(iz)
+    flat = volume.reshape(c, d * h * w)
+
+    out = jnp.zeros((c, coords.shape[0]), volume.dtype)
+    for dz in (0.0, 1.0):
+        for dy in (0.0, 1.0):
+            for dx in (0.0, 1.0):
+                xf, yf, zf = x0f + dx, y0f + dy, z0f + dz
+                wgt = (
+                    (1.0 - jnp.abs(ix - xf))
+                    * (1.0 - jnp.abs(iy - yf))
+                    * (1.0 - jnp.abs(iz - zf))
+                )
+                inside = (
+                    (xf >= 0) & (xf <= w - 1)
+                    & (yf >= 0) & (yf <= h - 1)
+                    & (zf >= 0) & (zf <= d - 1)
+                )
+                xi = jnp.clip(xf, 0, w - 1).astype(jnp.int32)
+                yi = jnp.clip(yf, 0, h - 1).astype(jnp.int32)
+                zi = jnp.clip(zf, 0, d - 1).astype(jnp.int32)
+                lin = (zi * h + yi) * w + xi
+                vals = jnp.take(flat, lin, axis=1)  # (C, N)
+                out = out + vals * (wgt * inside)[None, :]
+    return out

@@ -1,0 +1,125 @@
+"""Benchmark: full-image render throughput on one TPU chip.
+
+Workload (BASELINE.md speed target): 512x512 novel-view render, 128
+samples/ray, 3 input views at 512x512, full 6890-vertex SMPL — the
+reference's eval path (``lib/all_test.py:128-132`` prints per-image time on
+one GPU; the north star is >=3x an A100's rays/sec/chip on v5e).
+
+Baseline constant: the reference renders a 512x512x128 image in roughly
+20-30 s on an A100-class GPU (no number is published in-repo; estimate from
+the chunk-12000 render loop).  We take 262144/26s ~ 10,000 rays/s as the
+A100 reference and 3x that (30,000) as the parity bar, so
+``vs_baseline = rays_per_sec / 30000`` — >=1.0 meets the speed target.
+
+Prints ONE JSON line:
+  {"metric": "render_rays_per_sec_512x512x128", "value": N,
+   "unit": "rays/s/chip", "vs_baseline": N}
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from mpsnerf_tpu.data.synthetic import SyntheticHumanDataset
+    from mpsnerf_tpu.models.mps_nerf import MPSNeRF
+    from mpsnerf_tpu.renderer.render import render_rays
+    from mpsnerf_tpu.train.trainer import to_device_input
+    from mpsnerf_tpu.rays.rays import get_rays, get_near_far
+
+    H = W = 512
+    N_SAMPLES = 128
+    CHUNK = 4096
+    N_INPUT_VIEWS = 3
+
+    ds = SyntheticHumanDataset(
+        n_poses=1, n_cameras=N_INPUT_VIEWS + 1, image_size=H, n_rays=64,
+        n_verts=6890, num_instances=1,
+        input_views=list(range(N_INPUT_VIEWS)),
+    )
+    item = ds.get_item(0, instance_idx=0)
+    smpl = ds.smpl_for(0)
+    inp = to_device_input(item)
+
+    # target camera: the held-out view
+    K, R, T = ds.cameras[N_INPUT_VIEWS]
+    ray_o, ray_d = get_rays(H, W, K, R, T)
+    ray_o = ray_o.reshape(-1, 3)
+    ray_d = ray_d.reshape(-1, 3)
+    bounds = np.asarray(item["bounds"])
+    near, far, hit = get_near_far(bounds, ray_o.copy(), ray_d.copy())
+    near_all = np.zeros(ray_o.shape[0], np.float32)
+    far_all = np.ones(ray_o.shape[0], np.float32)
+    near_all[hit] = near
+    far_all[hit] = far
+
+    model = MPSNeRF(num_instances=1, compact_fraction=0.25)
+    variables = jax.jit(model.init, static_argnames=("train",))(
+        {"params": jax.random.PRNGKey(0)}, smpl, inp, inp,
+        jnp.zeros((8, 3)), jnp.zeros((8, 3)), train=False,
+    )
+
+    latent = jax.jit(model.apply, static_argnames=("train", "method"))(
+        variables, inp["img_all"], train=False, method="encode",
+    )
+
+    @jax.jit
+    def chunk_fn(ro, rd, nr, fr, key):
+        out = render_rays(
+            model, variables, smpl, inp, inp, latent, ro, rd, nr, fr,
+            key, n_samples=N_SAMPLES, perturb=0.0, train=False,
+        )
+        return out.rgb_map, out.disp_map, out.acc_map
+
+    n_rays = ray_o.shape[0]
+    n_pad = ((n_rays + CHUNK - 1) // CHUNK) * CHUNK
+
+    def pad(x):
+        return np.concatenate([x, np.zeros((n_pad - len(x),) + x.shape[1:],
+                                           x.dtype)])
+
+    ro, rd = pad(ray_o), pad(ray_d)
+    nr, fr = pad(near_all), pad(far_all)
+    key = jax.random.PRNGKey(0)
+
+    def render_full():
+        outs = []
+        for i in range(0, n_pad, CHUNK):
+            r = chunk_fn(
+                jnp.asarray(ro[i:i + CHUNK]), jnp.asarray(rd[i:i + CHUNK]),
+                jnp.asarray(nr[i:i + CHUNK]), jnp.asarray(fr[i:i + CHUNK]),
+                key,
+            )
+            outs.append(r)
+        jax.block_until_ready(outs)
+        return outs
+
+    render_full()  # warm-up / compile
+
+    n_images = 3
+    t0 = time.time()
+    for _ in range(n_images):
+        outs = render_full()
+    dt = (time.time() - t0) / n_images
+
+    rays_per_sec = n_rays / dt
+    print(
+        json.dumps(
+            {
+                "metric": "render_rays_per_sec_512x512x128",
+                "value": round(rays_per_sec, 1),
+                "unit": "rays/s/chip",
+                "vs_baseline": round(rays_per_sec / 30000.0, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,371 @@
+"""The flagship generalizable human-NeRF model.
+
+Capability reference: ``SKinningBatch`` at
+``/root/reference/lib/skinnning_batch.py:109-514`` — the model the shipped
+configs train (``model = skinning_batch``, use_trans=1, append_rgb=1,
+human_sample=1, correction_field=0, skinning_field=0, mean_shape=0).
+
+Pipeline per query point (world space, target pose):
+  1. world -> target SMPL space via the global (R, Th)
+  2. human-region mask: 1-NN distance to posed SMPL verts < 5 cm
+  3. inverse LBS warp target -> canonical big-pose space
+  4. optional correction / skinning-weight fields
+  5. forward LBS warp canonical -> source pose -> world
+  6. project into every source view; sample ResNet features (+ PE'd rgb)
+  7. transformer fusion across views -> f1 (density path), f2 (rgb path)
+  8. NeRF MLP -> (rgb, sigma)
+
+TPU-first restructuring vs. the reference:
+  * image encoding is a separate method, run ONCE per step (the reference
+    re-encoded every ray chunk — ``skinnning_batch.py:349-351``)
+  * no boolean compaction: every point is computed, invalid ones are masked
+    to raw = -80 (identical compositing semantics, static shapes)
+  * the smooth-loss occupancy normal is a ``jax.vjp`` of the tail function
+    from canonical points to sigma — double backprop handled by XLA
+  * state (latent, image shape) is threaded explicitly, never stored on
+    the module
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import flax.linen as nn
+
+from mpsnerf_tpu.models.layers import TorchLinear
+from mpsnerf_tpu.ops.compact import plan_compaction, compact, expand
+from mpsnerf_tpu.models.resnet import SpatialEncoder
+from mpsnerf_tpu.models.transformer import ViewFusionTransformer
+from mpsnerf_tpu.models.deform import DeformField
+from mpsnerf_tpu.ops.positional import positional_encoding
+from mpsnerf_tpu.ops.grid_sample import index_features, grid_sample_2d
+from mpsnerf_tpu.ops.knn import nearest_vertex
+from mpsnerf_tpu.ops.composite import wide_sigmoid
+from mpsnerf_tpu.smpl.model import SMPLModel
+from mpsnerf_tpu.smpl.lbs import (
+    PoseTransforms,
+    world_to_smpl,
+    deform_target_to_canonical,
+    deform_canonical_to_source,
+)
+from mpsnerf_tpu.smpl.mesh import vertex_normals
+
+HUMAN_DIST_THRESHOLD_SQ = 0.05 ** 2  # 5 cm (ref skinnning_batch.py:360)
+MASK_FILL = -80.0                    # ref skinnning_batch.py:493
+
+
+class RawOutput(NamedTuple):
+    """Typed replacement for the reference's packed 17/23-channel ``raw``
+    protocol (ref skinnning_batch.py:491-504 / SURVEY §2.5)."""
+
+    rgb: jnp.ndarray                  # (N, 3) pre-activation (masked: -80)
+    sigma: jnp.ndarray                # (N,)   pre-activation (masked: -80)
+    pts_mask: jnp.ndarray             # (N,)   1 = inside human region
+    correction: jnp.ndarray           # (N, 3)
+    correction_: jnp.ndarray          # (N, 3)
+    smpl_query_pts: jnp.ndarray       # (N, 3)
+    smpl_src_pts: jnp.ndarray         # (N, 3)
+    occ_normal: jnp.ndarray           # (N, 3) d wide_sigmoid(sigma) / d can_pts
+    nearest_smpl_normal: jnp.ndarray  # (N, 3)
+    world_src_pts: jnp.ndarray        # (N, 3) (mesh_animation consumers)
+    bweights: jnp.ndarray             # (N, 24)
+
+    def packed(self) -> jnp.ndarray:
+        """The reference's 23-channel layout, for parity checks."""
+        return jnp.concatenate(
+            [
+                self.rgb,
+                self.sigma[:, None],
+                self.pts_mask[:, None].astype(self.rgb.dtype),
+                self.correction,
+                self.correction_,
+                self.smpl_query_pts,
+                self.smpl_src_pts,
+                self.occ_normal,
+                self.nearest_smpl_normal,
+            ],
+            axis=-1,
+        )
+
+
+class MPSNeRF(nn.Module):
+    """Generalizable human NeRF with LBS canonicalization."""
+
+    num_instances: int = 25
+    use_transformer: bool = True
+    append_rgb: bool = True
+    with_viewdirs: bool = False
+    human_sample: bool = True
+    mean_shape: bool = False
+    correction_field: bool = False
+    skinning_field: bool = False
+    encoder_layers: int = 2
+    nerf_width: int = 256
+    nerf_depth: int = 8
+    nerf_skips: tuple = (4,)
+    bn_axis_name: Optional[str] = None
+    # static capacity for masked-point compaction as a fraction of the
+    # query count; None disables (full masked compute, exact reference
+    # semantics even at capacity overflow)
+    compact_fraction: Optional[float] = 0.5
+
+    def setup(self):
+        self.encoder_2d = SpatialEncoder(
+            num_layers=self.encoder_layers, bn_axis_name=self.bn_axis_name
+        )
+        feat_ch = self.encoder_2d.latent_channels + (27 if self.append_rgb else 0)
+        if self.use_transformer:
+            self.transformer = ViewFusionTransformer(dim=feat_ch)
+        self.latent_codes = nn.Embed(
+            self.num_instances, 128,
+            embedding_init=nn.initializers.normal(stddev=0.01),
+        )
+        if self.correction_field:
+            self.forward_deform = DeformField(
+                depth=2, out_ch=3, deform_type="correction"
+            )
+        if self.skinning_field:
+            self.backward_deform = DeformField(
+                depth=4, out_ch=24, deform_type="weights"
+            )
+
+        self.pts_linears = [
+            TorchLinear(self.nerf_width, name=f"pts_linear_{i}")
+            for i in range(self.nerf_depth)
+        ]
+        self.alpha_linear = TorchLinear(1, name="alpha_linear")
+        self.feature_linear = TorchLinear(self.nerf_width, name="feature_linear")
+        self.views_linear = TorchLinear(self.nerf_width // 2, name="views_linear")
+        self.rgb_linear = TorchLinear(3, name="rgb_linear")
+
+    # ------------------------------------------------------------------
+    # stage 1: per-step image encoding (NOT per chunk)
+    # ------------------------------------------------------------------
+
+    def encode(self, images: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        """images (V, 3, H, W) -> latent (V, C, H/4, W/4)."""
+        return self.encoder_2d(images, train=train)
+
+    # ------------------------------------------------------------------
+    # stage 2: per-point query
+    # ------------------------------------------------------------------
+
+    def _nerf_mlp(self, can_pts, f1, f2, viewdirs):
+        x = jnp.concatenate([positional_encoding(can_pts, 6), f1], axis=-1)
+        h = x
+        for i, layer in enumerate(self.pts_linears):
+            h = nn.relu(layer(h))
+            if i in self.nerf_skips:
+                h = jnp.concatenate([x, h], axis=-1)
+        alpha = self.alpha_linear(h)[..., 0]
+        feature = self.feature_linear(h)
+        if self.with_viewdirs:
+            vd = positional_encoding(viewdirs, 4)
+            h = jnp.concatenate([feature, vd, f2], axis=-1)
+        else:
+            h = jnp.concatenate([feature, f2], axis=-1)
+        h = nn.relu(self.views_linear(h))
+        rgb = self.rgb_linear(h)
+        return rgb, alpha
+
+    def _view_features(self, sp_input, latent, world_src_pts):
+        """Project points into each source view, gather pixel-aligned
+        features (+ PE'd sampled rgb), fuse across views."""
+        R_all = sp_input["R_all"]          # (V, 3, 3)
+        T_all = sp_input["T_all"].reshape(-1, 3, 1)
+        K_all = sp_input["K_all"]          # (V, 3, 3)
+        img_all = sp_input["img_all"]      # (V, 3, H, W)
+        h_img, w_img = img_all.shape[-2], img_all.shape[-1]
+        image_size = (float(w_img), float(h_img))
+
+        cam = (
+            jnp.einsum("vij,nj->vni", R_all, world_src_pts)
+            + T_all.transpose(0, 2, 1)
+        )
+        pix = jnp.einsum("vij,vnj->vni", K_all, cam)
+        uv = pix[..., :2] / (pix[..., 2:] + 1e-5)  # (V, N, 2)
+
+        feats = index_features(latent, uv, image_size)  # (V, C, N)
+        feats = feats.transpose(0, 2, 1)  # (V, N, C)
+
+        if self.append_rgb:
+            size = jnp.asarray(image_size, uv.dtype)
+            coords = 2.0 * uv / size - 1.0
+            rgb_s = grid_sample_2d(img_all, coords).transpose(0, 2, 1)  # (V,N,3)
+            rgb_pe = positional_encoding(rgb_s, 4)  # (V, N, 27)
+            feats = jnp.concatenate([feats, rgb_pe], axis=-1)
+
+        if self.use_transformer:
+            fused = self.transformer(feats.transpose(1, 0, 2))  # (N, V, C)
+            f1 = fused[:, 0, :]
+            f2 = fused[:, 1, :]
+        else:
+            f1 = f2 = jnp.mean(feats, axis=0)
+        return f1, f2
+
+    def query(
+        self,
+        smpl: SMPLModel,
+        sp_input: Dict[str, Any],
+        tp_input: Dict[str, Any],
+        latent: jnp.ndarray,
+        world_pts: jnp.ndarray,     # (N, 3)
+        viewdirs: jnp.ndarray,      # (N, 3)
+        train: bool = False,
+        compute_normals: bool = False,
+        mode: str = "full",         # "full" | "extract_mesh" | "mesh_animation"
+    ) -> RawOutput:
+        n = world_pts.shape[0]
+        tp_params = tp_input["params"]
+        sp_params = sp_input["params"]
+        tf_t = PoseTransforms.create(smpl, tp_params)
+        tf_s = PoseTransforms.create(smpl, sp_params)
+
+        geometry_only = mode in ("extract_mesh", "mesh_animation")
+        plan = None
+
+        if not geometry_only:
+            smpl_query_pts = world_to_smpl(world_pts, tf_t.R, tf_t.Th)
+
+            # human-region mask + nearest posed vertex (ONE knn call — the
+            # reference issued separate calls for the mask and the warp)
+            tar_smpl_pts = world_to_smpl(tp_input["vertices"], tf_t.R, tf_t.Th)
+            d2, vert_ids_t = nearest_vertex(
+                jax.lax.stop_gradient(smpl_query_pts), tar_smpl_pts
+            )
+            if self.human_sample:
+                pts_mask = (d2 < HUMAN_DIST_THRESHOLD_SQ).astype(jnp.int32)
+            else:
+                pts_mask = jnp.ones((n,), jnp.int32)
+
+            q_pts, q_ids, q_vd = smpl_query_pts, vert_ids_t, viewdirs
+            if self.compact_fraction is not None and self.human_sample:
+                # static-capacity compaction: the expensive tail only runs
+                # on (mostly) in-body points.  Capacity overflow drops
+                # points -> rendered as empty; capacity 1.0 never drops.
+                cap = int(np.ceil(n * self.compact_fraction / 1024)) * 1024
+                cap = max(1024, min(cap, n))
+                plan = plan_compaction(pts_mask, cap)
+                q_pts = compact(plan, smpl_query_pts)
+                q_ids = compact(plan, vert_ids_t)
+                q_vd = compact(plan, viewdirs)
+
+            coarse_can = deform_target_to_canonical(
+                smpl, tf_t, q_pts, q_ids, self.mean_shape
+            )
+        else:
+            # extract_mesh / mesh_animation query directly in canonical space
+            smpl_query_pts = world_pts
+            coarse_can = world_pts
+            q_pts, q_vd = world_pts, viewdirs
+            pts_mask = jnp.ones((n,), jnp.int32)
+
+        correction = jnp.zeros((n, 3), world_pts.dtype)
+        if self.correction_field:
+            raise NotImplementedError(
+                "correction_field requires the sparse 3D encoder "
+                "(scheduled; the shipped configs train with it disabled — "
+                "configs/canonical_transformer.txt: correction_field = 0)"
+            )
+
+        # --- tail: everything downstream of the canonical points.  Wrapped
+        # as a function of can_pts so the occupancy normal is one vjp call.
+        t_vertices = sp_input["t_vertices"]
+        instance_idx = tp_input["instance_idx"].astype(jnp.int32).reshape(())
+
+        def tail(can_pts):
+            # the 1-NN index is non-differentiable (matches the reference's
+            # knn_points semantics) — stop_gradient keeps the vjp clean
+            _, vert_ids_c = nearest_vertex(
+                jax.lax.stop_gradient(can_pts), t_vertices
+            )
+            if self.skinning_field:
+                embed = self.latent_codes(instance_idx)  # (128,)
+                code = jnp.concatenate(
+                    [
+                        positional_encoding(can_pts, 6),
+                        jnp.broadcast_to(embed, (can_pts.shape[0], 128)),
+                    ],
+                    axis=-1,
+                )
+                weights_corr = self.backward_deform(code)
+            else:
+                weights_corr = None
+            smpl_src, world_src, bweights = deform_canonical_to_source(
+                smpl, tf_s, can_pts, vert_ids_c, weights_corr, self.mean_shape
+            )
+            f1, f2 = self._view_features(sp_input, latent, world_src)
+            rgb, alpha = self._nerf_mlp(can_pts, f1, f2, q_vd)
+            return alpha, (rgb, smpl_src, world_src, bweights, vert_ids_c)
+
+        if compute_normals:
+            alpha, vjp_fn, aux = jax.vjp(tail, coarse_can, has_aux=True)
+            # occ_normal = d wide_sigmoid(alpha) / d can_pts (ref :499);
+            # chain rule through the vjp: cotangent = wide_sigmoid'(alpha)
+            s = jax.nn.sigmoid(alpha)
+            cot = (1.0 + 2.0 * 1e-4) * s * (1.0 - s)
+            (occ_normal,) = vjp_fn(cot)
+            # normalize; where the density gradient vanishes (saturated
+            # sigmoid) there is no surface normal — gate it to zero.  The
+            # reference's bare /(norm + 1e-8) (skinnning_batch.py:500) has
+            # a 1/eps gradient blowup there, and sqrt at exactly zero emits
+            # NaN cotangents under double backprop — double-where guards.
+            n2 = jnp.sum(occ_normal * occ_normal, axis=-1, keepdims=True)
+            valid = jax.lax.stop_gradient(n2 > 1e-8)
+            denom = jnp.sqrt(jnp.where(valid, n2, 1.0))
+            occ_normal = jnp.where(valid, occ_normal / denom, 0.0)
+            rgb, smpl_src, world_src, bweights, vert_ids_c = aux
+            t_normals = vertex_normals(t_vertices, smpl.faces)
+            nearest_smpl_normal = t_normals[vert_ids_c]
+        else:
+            alpha, aux = tail(coarse_can)
+            rgb, smpl_src, world_src, bweights, vert_ids_c = aux
+            k = coarse_can.shape[0]
+            occ_normal = jnp.zeros((k, 3), world_pts.dtype)
+            nearest_smpl_normal = jnp.zeros((k, 3), world_pts.dtype)
+
+        if plan is not None:
+            # scatter compacted results back to the full point set; the
+            # effective mask is ``take`` (valid AND within capacity)
+            pts_mask = plan.take.astype(jnp.int32)
+            rgb = expand(plan, rgb, 0.0)
+            alpha = expand(plan, alpha, 0.0)
+            smpl_src = expand(plan, smpl_src, 0.0)
+            world_src = expand(plan, world_src, 0.0)
+            bweights = expand(plan, bweights, 0.0)
+            occ_normal = expand(plan, occ_normal, 0.0)
+            nearest_smpl_normal = expand(plan, nearest_smpl_normal, 0.0)
+
+        # --- mask fill (ref: raw[pts_mask==0] = -80)
+        maskf = pts_mask.astype(rgb.dtype)[:, None]
+        rgb_out = jnp.where(maskf > 0, rgb, MASK_FILL)
+        sigma_out = jnp.where(maskf[:, 0] > 0, alpha, MASK_FILL)
+
+        def zmask(x):
+            return x * maskf
+
+        return RawOutput(
+            rgb=rgb_out,
+            sigma=sigma_out,
+            pts_mask=pts_mask,
+            correction=zmask(correction),
+            correction_=jnp.zeros((n, 3), world_pts.dtype),
+            smpl_query_pts=zmask(smpl_query_pts),
+            smpl_src_pts=zmask(smpl_src),
+            occ_normal=zmask(occ_normal),
+            nearest_smpl_normal=zmask(nearest_smpl_normal),
+            world_src_pts=world_src,
+            bweights=bweights,
+        )
+
+    def __call__(self, smpl, sp_input, tp_input, world_pts, viewdirs,
+                 train: bool = False, compute_normals: bool = False):
+        """Convenience single-shot forward: encode + query."""
+        latent = self.encode(sp_input["img_all"], train=train)
+        return self.query(
+            smpl, sp_input, tp_input, latent, world_pts, viewdirs,
+            train=train, compute_normals=compute_normals,
+        )

@@ -57,14 +57,14 @@ def composite_rays(
     else:
         alpha = wide_sigmoid(raw_sigma)
 
-    # T_i = prod_{j<i} (1 - alpha_j + 1e-10), exclusive scan
-    log_t = jnp.log(1.0 - alpha + 1e-10)
-    trans = jnp.exp(
-        jnp.concatenate(
-            [jnp.zeros_like(log_t[..., :1]), jnp.cumsum(log_t[..., :-1], axis=-1)],
-            axis=-1,
-        )
-    )
+    # T_i = prod_{j<i} (1 - alpha_j + 1e-10), exclusive cumprod (an
+    # associative scan on the VPU).  NOTE: the exp(cumsum(log)) form is
+    # mathematically equivalent but XLA's fused gradient emits NaN when
+    # alpha saturates to exactly 1 (jit-only; eager is fine) — keep cumprod.
+    ones = jnp.ones_like(alpha[..., :1])
+    trans = jnp.cumprod(
+        jnp.concatenate([ones, 1.0 - alpha + 1e-10], axis=-1), axis=-1
+    )[..., :-1]
     weights = alpha * trans
 
     rgb_map = jnp.sum(weights[..., None] * rgb, axis=-2)

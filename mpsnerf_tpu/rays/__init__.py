@@ -1,0 +1,12 @@
+from mpsnerf_tpu.rays.rays import (
+    get_rays,
+    get_near_far,
+    get_bound_2d_mask,
+    sample_rays_batch,
+    project_points,
+)
+
+__all__ = [
+    "get_rays", "get_near_far", "get_bound_2d_mask",
+    "sample_rays_batch", "project_points",
+]

@@ -1,0 +1,140 @@
+"""Ray rendering: sampling -> model query -> compositing.
+
+Behavioral reference: ``/root/reference/run_nerf_batch.py:85-135,401-444``
+(``batchify_rays`` / ``render`` / ``render_rays``).
+
+TPU-first: one jitted function renders a fixed-size ray block end-to-end
+(sampling, warp, conditioning, MLP, compositing all fused by XLA); the
+encoder latent is computed once outside and passed in.  Full-image rendering
+pads the ray set to a multiple of the chunk and loops the same compiled
+block — no per-chunk recompilation, no ragged shapes on device.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mpsnerf_tpu.models.mps_nerf import MPSNeRF, RawOutput
+from mpsnerf_tpu.ops.composite import composite_rays, stratified_z_vals
+from mpsnerf_tpu.smpl.model import SMPLModel
+
+
+class RenderResult(NamedTuple):
+    rgb_map: jnp.ndarray    # (R, 3)
+    disp_map: jnp.ndarray   # (R,)
+    acc_map: jnp.ndarray    # (R,)
+    depth_map: jnp.ndarray  # (R,)
+    weights: jnp.ndarray    # (R, S)
+    raw: RawOutput          # per-sample structures, reshaped (R, S, ...)
+
+
+def render_rays(
+    model: MPSNeRF,
+    variables: Any,
+    smpl: SMPLModel,
+    sp_input: Dict[str, Any],
+    tp_input: Dict[str, Any],
+    latent: jnp.ndarray,
+    rays_o: jnp.ndarray,   # (R, 3)
+    rays_d: jnp.ndarray,   # (R, 3)
+    near: jnp.ndarray,     # (R,)
+    far: jnp.ndarray,      # (R,)
+    key: jax.Array,
+    n_samples: int,
+    perturb: float = 0.0,
+    train: bool = False,
+    compute_normals: bool = False,
+    occupancy: bool = False,
+    white_bkgd: bool = False,
+) -> RenderResult:
+    """Render one fixed-size block of rays (fully on device)."""
+    r = rays_o.shape[0]
+    z_vals = stratified_z_vals(
+        key, near[:, None], far[:, None], n_samples, perturb
+    )  # (R, S)
+    pts = rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., None]
+
+    viewdirs = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+    viewdirs_flat = jnp.broadcast_to(
+        viewdirs[:, None, :], pts.shape
+    ).reshape(-1, 3)
+
+    raw: RawOutput = model.apply(
+        variables,
+        smpl,
+        sp_input,
+        tp_input,
+        latent,
+        pts.reshape(-1, 3),
+        viewdirs_flat,
+        train=train,
+        compute_normals=compute_normals,
+        method=MPSNeRF.query,
+    )
+
+    out = composite_rays(
+        raw.rgb.reshape(r, n_samples, 3),
+        raw.sigma.reshape(r, n_samples),
+        z_vals,
+        rays_d,
+        occupancy=occupancy,
+        white_bkgd=white_bkgd,
+    )
+
+    raw_shaped = jax.tree.map(
+        lambda x: x.reshape((r, n_samples) + x.shape[1:]), raw
+    )
+    return RenderResult(
+        rgb_map=out.rgb_map,
+        disp_map=out.disp_map,
+        acc_map=out.acc_map,
+        depth_map=out.depth_map,
+        weights=out.weights,
+        raw=raw_shaped,
+    )
+
+
+def render_image(
+    render_chunk_fn,
+    rays_o: np.ndarray,
+    rays_d: np.ndarray,
+    near: np.ndarray,
+    far: np.ndarray,
+    chunk: int,
+    key: jax.Array,
+):
+    """Render arbitrarily many rays by looping a compiled fixed-size chunk.
+
+    ``render_chunk_fn(rays_o, rays_d, near, far, key) -> (rgb, disp, acc)``
+    must be a jitted function over (chunk,)-shaped ray blocks.  Rays are
+    padded to a chunk multiple; padding is sliced off on host.
+    """
+    n = rays_o.shape[0]
+    n_pad = ((n + chunk - 1) // chunk) * chunk
+
+    def pad(x):
+        return np.concatenate(
+            [x, np.zeros((n_pad - n,) + x.shape[1:], x.dtype)], axis=0
+        )
+
+    ro, rd = pad(rays_o), pad(rays_d)
+    nr, fr = pad(near), pad(far)
+    outs = []
+    for i in range(0, n_pad, chunk):
+        key, sub = jax.random.split(key)
+        outs.append(
+            render_chunk_fn(
+                jnp.asarray(ro[i : i + chunk]),
+                jnp.asarray(rd[i : i + chunk]),
+                jnp.asarray(nr[i : i + chunk]),
+                jnp.asarray(fr[i : i + chunk]),
+                sub,
+            )
+        )
+    stacked = [np.concatenate([np.asarray(o[k]) for o in outs], 0)[:n]
+               for k in range(3)]
+    return stacked  # rgb (N,3), disp (N,), acc (N,)

@@ -104,7 +104,7 @@ def deform_target_to_canonical(
 
     Ref: ``coarse_deform_target2c`` (lib/skinnning_batch.py:203-251).
     """
-    bweights = smpl.weights[vert_ids]  # (N, 24)
+    bweights = jnp.asarray(smpl.weights)[vert_ids]  # (N, 24)
 
     A = _blend_A(bweights, tf.A)
     can = query_pts - A[:, :3, 3]
@@ -133,7 +133,7 @@ def deform_canonical_to_source(
     Ref: ``coarse_deform_c2source`` (lib/skinnning_batch.py:253-300) —
     including the 0.2-scaled skinning-field correction and renormalization.
     """
-    bweights = smpl.weights[vert_ids]  # (N, 24)
+    bweights = jnp.asarray(smpl.weights)[vert_ids]  # (N, 24)
     if weights_correction is not None:
         bweights = bweights + 0.2 * weights_correction
         bweights = bweights / jnp.sum(bweights, axis=-1, keepdims=True)

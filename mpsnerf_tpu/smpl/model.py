@@ -13,10 +13,11 @@ immutable pytree of JAX arrays so it can be closed over by jitted functions.
 from __future__ import annotations
 
 import pickle
-from typing import NamedTuple
+from typing import Tuple
 
 import jax.numpy as jnp
 import numpy as np
+from flax import struct
 
 N_VERTS = 6890
 N_JOINTS = 24
@@ -24,16 +25,21 @@ N_SHAPES = 10
 N_POSE_FEATURES = (N_JOINTS - 1) * 9  # 207
 
 
-class SMPLModel(NamedTuple):
-    """Immutable SMPL rig as a pytree of arrays (all float32 / int32)."""
+@struct.dataclass
+class SMPLModel:
+    """Immutable SMPL rig as a pytree of arrays (all float32 / int32).
+
+    ``parents`` is static (pytree aux data): the 24-joint kinematic chain is
+    unrolled at trace time, so it must be a concrete python tuple.
+    """
 
     v_template: jnp.ndarray   # (V, 3)   rest-pose vertices
     shapedirs: jnp.ndarray    # (V, 3, 10) shape blend shape basis
     posedirs: jnp.ndarray     # (V, 3, 207) pose blend shape basis
     J_regressor: jnp.ndarray  # (24, V)  joint regressor
     weights: jnp.ndarray      # (V, 24)  LBS blend weights (rows sum to 1)
-    parents: jnp.ndarray      # (24,)    kinematic-chain parent indices
     faces: jnp.ndarray        # (F, 3)   triangle indices
+    parents: Tuple[int, ...] = struct.field(pytree_node=False, default=())
 
     @property
     def n_verts(self) -> int:
@@ -54,14 +60,16 @@ def load_smpl_pickle(path: str) -> SMPLModel:
         j_reg = j_reg.toarray()
     kintree = np.asarray(params["kintree_table"]).astype(np.int64)
 
+    parents = kintree[0].copy()
+    parents[0] = 0  # the root's stored parent is a sentinel; never read
     return SMPLModel(
-        v_template=jnp.asarray(np.asarray(params["v_template"]), jnp.float32),
-        shapedirs=jnp.asarray(np.asarray(params["shapedirs"]), jnp.float32),
-        posedirs=jnp.asarray(np.asarray(params["posedirs"]), jnp.float32),
-        J_regressor=jnp.asarray(np.asarray(j_reg), jnp.float32),
-        weights=jnp.asarray(np.asarray(params["weights"]), jnp.float32),
-        parents=jnp.asarray(kintree[0], jnp.int32),
-        faces=jnp.asarray(np.asarray(params["f"]).astype(np.int64), jnp.int32),
+        v_template=np.asarray(params["v_template"], np.float32),
+        shapedirs=np.asarray(params["shapedirs"], np.float32),
+        posedirs=np.asarray(params["posedirs"], np.float32),
+        J_regressor=np.asarray(j_reg, np.float32),
+        weights=np.asarray(params["weights"], np.float32),
+        faces=np.asarray(params["f"], np.int64).astype(np.int32),
+        parents=tuple(int(p) for p in parents),
     )
 
 
@@ -128,11 +136,11 @@ def synthetic_smpl(
     faces = rng.integers(0, n_verts, size=(n_faces, 3)).astype(np.int64)
 
     return SMPLModel(
-        v_template=jnp.asarray(verts, jnp.float32),
-        shapedirs=jnp.asarray(shapedirs, jnp.float32),
-        posedirs=jnp.asarray(posedirs, jnp.float32),
-        J_regressor=jnp.asarray(j_reg, jnp.float32),
-        weights=jnp.asarray(w, jnp.float32),
-        parents=jnp.asarray(_SMPL_PARENTS, jnp.int32),
-        faces=jnp.asarray(faces, jnp.int32),
+        v_template=np.asarray(verts, np.float32),
+        shapedirs=np.asarray(shapedirs, np.float32),
+        posedirs=np.asarray(posedirs, np.float32),
+        J_regressor=np.asarray(j_reg, np.float32),
+        weights=np.asarray(w, np.float32),
+        faces=np.asarray(faces, np.int32),
+        parents=tuple(int(p) for p in _SMPL_PARENTS),
     )

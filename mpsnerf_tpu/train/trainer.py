@@ -1,0 +1,267 @@
+"""Training: jitted per-view optimization step + host-side epoch loop.
+
+Behavioral reference: ``train`` at ``/root/reference/run_nerf_batch.py:447-650``:
+one optimizer step per output view per loader item (``skip_step`` view-steps
+increment ``global_step``), Adam(lr=5e-4, betas=(0.9, 0.999)), exponential
+LR decay ``lr * 0.5^(step/decay_steps)``, checkpoint every ``i_weights``,
+eval every ``i_testset``.
+
+TPU-first restructuring:
+  * the whole view-step (encode -> sample -> double forward (smooth) ->
+    composite -> losses -> grads -> Adam update) is ONE jitted function;
+    two compiled variants (with / without the smooth double-backprop term)
+    are selected by the host step counter, mirroring the reference's
+    ``intv_flag`` (run_nerf_batch.py:61) without retracing.
+  * randomness is keyed (no global RNG).
+  * the optimizer never leaves the device; the host loop only feeds data.
+
+Known deviation (documented): the reference recomputes the LR once per
+loader item from the pre-increment global step; here the optax schedule
+advances per optimizer step.  Relative LR difference is < 0.5^(V/decay):
+~0.06% at the shipped configs.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+
+from mpsnerf_tpu.models.mps_nerf import MPSNeRF, RawOutput
+from mpsnerf_tpu.ops.composite import composite_rays, stratified_z_vals
+from mpsnerf_tpu.smpl.model import SMPLModel
+from mpsnerf_tpu.train.losses import LossTerms, compute_losses, mse2psnr
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    lrate: float = 5e-4
+    decay_steps: int = 30000
+    n_samples: int = 128
+    perturb: float = 1.0
+    occupancy: bool = False
+    white_bkgd: bool = False
+    acc_loss: bool = True
+    correction_loss: bool = False
+    consistency_loss: bool = False
+    density_loss: bool = False
+    smooth_loss: bool = True
+    smooth_interval: int = 4
+    pair_mode: bool = False  # H36M_P/THuman_P extended img loss
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+
+    @property
+    def variables(self):
+        return {"params": self.params, "batch_stats": self.batch_stats}
+
+
+def lr_schedule(lrate: float, decay_steps: int):
+    return lambda count: lrate * (0.5 ** (count / decay_steps))
+
+
+def make_optimizer(cfg: TrainConfig):
+    return optax.adam(
+        learning_rate=lr_schedule(cfg.lrate, cfg.decay_steps),
+        b1=0.9,
+        b2=0.999,
+    )
+
+
+def create_train_state(
+    model: MPSNeRF, variables: Dict, cfg: TrainConfig, step: int = 0
+) -> TrainState:
+    tx = make_optimizer(cfg)
+    return TrainState(
+        step=jnp.asarray(step, jnp.int32),
+        params=variables["params"],
+        batch_stats=variables.get("batch_stats", {}),
+        opt_state=tx.init(variables["params"]),
+    )
+
+
+def make_train_step(
+    model: MPSNeRF,
+    cfg: TrainConfig,
+    smooth: bool,
+    axis_name: Optional[str] = None,
+) -> Callable:
+    """Build the jitted view-step.
+
+    Args (of the returned fn):
+      state, smpl, sp_input, tp_input,
+      rays_o/rays_d (R,3), near/far (R,), target_rgb (R,3), bkgd_msk (R,1),
+      key.
+    Returns ``(new_state, LossTerms, psnr)``.
+
+    When ``axis_name`` is set the function is meant to run inside
+    ``shard_map`` with rays sharded on that axis: gradients and losses are
+    ``pmean``-ed (the DDP/NCCL-allreduce equivalent over ICI).
+    """
+    tx = make_optimizer(cfg)
+
+    def step_fn(state: TrainState, smpl: SMPLModel, sp_input, tp_input,
+                rays_o, rays_d, near, far, target_rgb, bkgd_msk, key):
+        key_z, key_delta = jax.random.split(key)
+
+        def loss_fn(params):
+            variables = {"params": params, "batch_stats": state.batch_stats}
+            latent, mutated = model.apply(
+                variables, sp_input["img_all"], train=True,
+                mutable=["batch_stats"], method=MPSNeRF.encode,
+            )
+
+            r = rays_o.shape[0]
+            z_vals = stratified_z_vals(
+                key_z, near[:, None], far[:, None], cfg.n_samples, cfg.perturb
+            )
+            pts = rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., None]
+            viewdirs = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+            vd_flat = jnp.broadcast_to(
+                viewdirs[:, None, :], pts.shape
+            ).reshape(-1, 3)
+            pts_flat = pts.reshape(-1, 3)
+
+            def query(p):
+                return model.apply(
+                    variables, smpl, sp_input, tp_input, latent, p, vd_flat,
+                    train=True, compute_normals=smooth,
+                    method=MPSNeRF.query,
+                )
+
+            raw: RawOutput = query(pts_flat)
+            raw_perturbed = None
+            if smooth:
+                # ref run_nerf_batch.py:64-67: Normal(0, 0.01) world jitter
+                delta = 0.01 * jax.random.normal(
+                    key_delta, pts_flat.shape, pts_flat.dtype
+                )
+                raw_perturbed = query(pts_flat + delta)
+
+            out = composite_rays(
+                raw.rgb.reshape(r, cfg.n_samples, 3),
+                raw.sigma.reshape(r, cfg.n_samples),
+                z_vals,
+                rays_d,
+                occupancy=cfg.occupancy,
+                white_bkgd=cfg.white_bkgd,
+            )
+
+            pose_match = None
+            if cfg.pair_mode:
+                pose_match = (
+                    sp_input["pose_index"].reshape(())
+                    == tp_input["pose_index"].reshape(())
+                )
+            terms = compute_losses(
+                out.rgb_map, out.acc_map, target_rgb, bkgd_msk,
+                raw, raw_perturbed,
+                use_acc_loss=cfg.acc_loss,
+                use_correction_loss=cfg.correction_loss,
+                use_consistency_loss=cfg.consistency_loss,
+                use_density_loss=cfg.density_loss,
+                pose_match=pose_match,
+            )
+            return terms.total, (terms, mutated["batch_stats"], out.rgb_map)
+
+        grads, (terms, new_bs, rgb_map) = jax.grad(
+            loss_fn, has_aux=True
+        )(state.params)
+
+        if axis_name is not None:
+            grads = jax.lax.pmean(grads, axis_name)
+            terms = jax.tree.map(
+                lambda x: jax.lax.pmean(x, axis_name), terms
+            )
+            new_bs = jax.tree.map(
+                lambda x: jax.lax.pmean(x, axis_name), new_bs
+            )
+
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        psnr = mse2psnr(jnp.maximum(terms.img, 1e-10))
+        new_state = state.replace(
+            step=state.step + 1,
+            params=new_params,
+            batch_stats=new_bs,
+            opt_state=new_opt,
+        )
+        return new_state, terms, psnr
+
+    return step_fn
+
+
+def to_device_input(item: Dict) -> Dict:
+    """Host dict -> jnp pytree (nested params dict included)."""
+    out = {}
+    for k, v in item.items():
+        if isinstance(v, dict):
+            out[k] = {kk: jnp.asarray(vv) for kk, vv in v.items()}
+        else:
+            out[k] = jnp.asarray(v)
+    return out
+
+
+class Trainer:
+    """Host-side loop driving the jitted view-steps.
+
+    Mirrors the reference's cadence: per loader item, one optimizer step per
+    output view; ``global_step`` counts view-steps.
+    """
+
+    def __init__(self, model: MPSNeRF, cfg: TrainConfig, variables,
+                 start_step: int = 0):
+        self.model = model
+        self.cfg = cfg
+        self.state = create_train_state(model, variables, cfg, start_step)
+        self._step_plain = jax.jit(make_train_step(model, cfg, smooth=False))
+        self._step_smooth = (
+            jax.jit(make_train_step(model, cfg, smooth=True))
+            if cfg.smooth_loss
+            else self._step_plain
+        )
+
+    @property
+    def global_step(self) -> int:
+        return int(self.state.step)
+
+    def train_item(self, smpl: SMPLModel, sp_input, tp_input, key) -> Dict:
+        """One loader item: V view-steps.  Returns averaged scalars."""
+        n_views = int(np.asarray(tp_input["rgb_all"].shape[0]))
+        logs = []
+        for k in range(n_views):
+            step = self.global_step
+            smooth_now = (
+                self.cfg.smooth_loss
+                and step % self.cfg.smooth_interval == 0
+            )
+            fn = self._step_smooth if smooth_now else self._step_plain
+            key, sub = jax.random.split(key)
+            self.state, terms, psnr = fn(
+                self.state, smpl, sp_input, tp_input,
+                tp_input["ray_o_all"][k], tp_input["ray_d_all"][k],
+                tp_input["near_all"][k][:, 0], tp_input["far_all"][k][:, 0],
+                tp_input["rgb_all"][k], tp_input["bkgd_msk_all"][k],
+                sub,
+            )
+            logs.append((terms, psnr))
+        mean = lambda xs: float(np.mean([float(x) for x in xs]))
+        return {
+            "loss": mean([t.total for t, _ in logs]),
+            "img_loss": mean([t.img for t, _ in logs]),
+            "acc_loss": mean([t.acc for t, _ in logs]),
+            "psnr": mean([p for _, p in logs]),
+            "normal_smooth_loss": mean([t.normal_smooth for t, _ in logs]),
+            "smpl_normal_loss": mean([t.smpl_normal for t, _ in logs]),
+        }

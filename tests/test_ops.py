@@ -185,6 +185,30 @@ class TestComposite:
         np.testing.assert_allclose(np.asarray(out.acc_map), 0.0, atol=1e-5)
         np.testing.assert_allclose(np.asarray(out.rgb_map), 0.0, atol=1e-3)
 
+    def test_jit_grad_no_nan_at_saturation(self):
+        """Regression: the exp(cumsum(log)) transmittance form emitted NaN
+        gradients under jit when alpha saturates to exactly 1."""
+        rng = np.random.default_rng(0)
+        R, S = 8, 6
+        rgb = rng.normal(size=(R, S, 3)).astype(np.float32)
+        sig = np.full((R, S), -80.0, np.float32)
+        sig[:, 2] = 50.0  # saturated live sample
+        sig[:, 4] = -0.7
+        z = np.sort(rng.uniform(1, 3, size=(R, S)).astype(np.float32), -1)
+        rd = rng.normal(size=(R, 3)).astype(np.float32)
+
+        def loss(rgb, sig):
+            out = composite_rays(
+                jnp.asarray(rgb), jnp.asarray(sig), jnp.asarray(z), jnp.asarray(rd)
+            )
+            return jnp.mean(out.rgb_map**2) + jnp.mean(out.acc_map)
+
+        g = jax.jit(jax.grad(loss, argnums=(0, 1)))(
+            jnp.asarray(rgb), jnp.asarray(sig)
+        )
+        assert not bool(jnp.isnan(g[0]).any())
+        assert not bool(jnp.isnan(g[1]).any())
+
     def test_stratified_bounds(self):
         key = jax.random.PRNGKey(0)
         near = jnp.full((5, 1), 2.0)

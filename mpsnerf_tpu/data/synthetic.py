@@ -140,6 +140,9 @@ class SyntheticHumanDataset:
     def __len__(self):
         return self.n_poses * self.num_instances
 
+    def __getitem__(self, index: int) -> Dict:
+        return self.get_item(index)
+
     def smpl_for(self, instance_idx: int) -> SMPLModel:
         return self.subjects[instance_idx]["smpl"]
 

@@ -1,0 +1,219 @@
+"""Eval orchestration: jitted full-view renderer + dataset protocols.
+
+Behavioral reference: the test wiring in ``run_nerf_batch.py:499-519``
+(eval-only mode) and 620-647 (periodic eval), plus the dataset windows of
+``test_THuman_ssim`` (all_test.py:54-99: held-out humans = list indices
+25:30, start poses [20, 24, 27, 25, 28], novel views [1,5,7,11,13,17,19,23],
+512x512) and ``test_H36M`` (all_test.py:310-360: per-subject pose tables,
+novel view = camera 3, masked-ray rendering).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mpsnerf_tpu.models.mps_nerf import MPSNeRF
+from mpsnerf_tpu.renderer.render import render_rays
+from mpsnerf_tpu.train.trainer import to_device_input
+from mpsnerf_tpu.eval.protocol import evaluate_novel_view_pose
+
+THUMAN_NOVEL_VIEWS = [1, 5, 7, 11, 13, 17, 19, 23]
+THUMAN_START_POSES = [20, 24, 27, 25, 28]
+THUMAN_TEST_RANGE = (25, 30)
+
+# test_H36M per-subject (input_pose, test pose range) tables
+# (ref all_test.py:316-322)
+H36M_POSE_TABLES = {
+    0: {"input_pose": 0, "start": 1, "num": 49},
+    1: {"input_pose": 0, "start": 1, "num": 49},
+    2: {"input_pose": 0, "start": 1, "num": 49},
+}
+H36M_NOVEL_VIEW = [3]
+
+
+class ViewRenderer:
+    """Renders full eval views through a compiled fixed-size ray chunk."""
+
+    def __init__(
+        self,
+        model: MPSNeRF,
+        smpl_selector: Callable,  # gender int -> SMPLModel
+        chunk: int = 4096,
+        n_samples: int = 128,
+        white_bkgd: bool = False,
+    ):
+        self.model = model
+        self.smpl_selector = smpl_selector
+        self.chunk = chunk
+        self.n_samples = n_samples
+        self.white_bkgd = white_bkgd
+        self._sp_cache = (None, None)  # (id(sp_item), latent)
+
+        model_ = model
+        n_samples_ = n_samples
+        white_ = white_bkgd
+
+        @jax.jit
+        def chunk_fn(variables, smpl, sp, tp, latent, ro, rd, nr, fr):
+            out = render_rays(
+                model_, variables, smpl, sp, tp, latent, ro, rd, nr, fr,
+                jax.random.PRNGKey(0), n_samples=n_samples_, perturb=0.0,
+                train=False, white_bkgd=white_,
+            )
+            return out.rgb_map, out.acc_map
+
+        self._chunk_fn = chunk_fn
+
+        @jax.jit
+        def encode_fn(variables, images):
+            return model_.apply(variables, images, train=False,
+                                method=MPSNeRF.encode)
+
+        self._encode_fn = encode_fn
+
+    def _latent_for(self, variables, sp_item):
+        key = id(sp_item)
+        if self._sp_cache[0] != key:
+            latent = self._encode_fn(variables, jnp.asarray(sp_item["img_all"]))
+            self._sp_cache = (key, latent)
+        return self._sp_cache[1]
+
+    def render_view(self, variables, sp_item: Dict, tp_item: Dict, k: int,
+                    ray_mask: Optional[np.ndarray] = None) -> np.ndarray:
+        """Render target view ``k`` of ``tp_item`` conditioned on
+        ``sp_item``.  Returns (H*W, 3) float.  ``ray_mask`` restricts
+        rendering to masked rays (H36M masked-ray mode, all_test.py:384-387);
+        unmasked pixels return 0."""
+        sp = to_device_input(
+            {kk: vv for kk, vv in sp_item.items() if kk != "msk_all"}
+        )
+        tp = to_device_input(
+            {kk: vv for kk, vv in tp_item.items() if kk != "msk_all"}
+        )
+        smpl = self.smpl_selector(int(sp_item["gender"]))
+        latent = self._latent_for(variables, sp_item)
+
+        ro = np.asarray(tp_item["ray_o_all"][k], np.float32)
+        rd = np.asarray(tp_item["ray_d_all"][k], np.float32)
+        nr = np.asarray(tp_item["near_all"][k], np.float32).reshape(-1)
+        fr = np.asarray(tp_item["far_all"][k], np.float32).reshape(-1)
+
+        n_total = ro.shape[0]
+        if ray_mask is not None:
+            sel = np.flatnonzero(ray_mask.reshape(-1))
+            ro, rd, nr, fr = ro[sel], rd[sel], nr[sel], fr[sel]
+
+        n = ro.shape[0]
+        n_pad = ((n + self.chunk - 1) // self.chunk) * self.chunk
+
+        def pad(x):
+            return np.concatenate(
+                [x, np.zeros((n_pad - n,) + x.shape[1:], x.dtype)]
+            )
+
+        ro, rd, nr, fr = pad(ro), pad(rd), pad(nr), pad(fr)
+        outs = []
+        for i in range(0, n_pad, self.chunk):
+            rgb, _ = self._chunk_fn(
+                variables, smpl, sp, tp, latent,
+                jnp.asarray(ro[i:i + self.chunk]),
+                jnp.asarray(rd[i:i + self.chunk]),
+                jnp.asarray(nr[i:i + self.chunk]),
+                jnp.asarray(fr[i:i + self.chunk]),
+            )
+            outs.append(np.asarray(rgb))
+        rgb = np.concatenate(outs, axis=0)[:n]
+
+        if ray_mask is not None:
+            full = np.zeros((n_total, 3), np.float32)
+            full[sel] = rgb
+            return full
+        return rgb
+
+
+def run_thuman_eval(
+    args, model, variables, smpl_selector, savedir: str,
+    dataset_cls=None, verbose: bool = True, poses_num: int = 5,
+) -> Dict:
+    """``test_THuman_ssim`` equivalent over the 5 held-out subjects."""
+    import os
+
+    if dataset_cls is None:
+        from mpsnerf_tpu.data.thuman import THumanDatasetBatch as dataset_cls
+
+    with open("data/THuman_1_human_list.txt") as f:
+        names = [
+            x.strip()
+            for x in f.readlines()[THUMAN_TEST_RANGE[0]:THUMAN_TEST_RANGE[1]]
+        ]
+    all_root = os.path.dirname(args.data_root)
+
+    renderer = ViewRenderer(
+        model, smpl_selector, chunk=args.chunk, n_samples=args.N_samples,
+        white_bkgd=args.white_bkgd,
+    )
+
+    humans, start_poses = {}, {}
+    for name, start in zip(names, THUMAN_START_POSES):
+        root = os.path.join(all_root, name)
+        common = dict(
+            split=args.test_split, view_num=args.view_num, model=args.model,
+            male=args.male, mean_shape=args.mean_shape, multi_person=False,
+        )
+        ds_pose = dataset_cls(
+            root, start=start, interval=1, poses_num=poses_num + 1, **common
+        )
+        ds_view = dataset_cls(
+            root, start=0, interval=1, poses_num=poses_num, **common
+        )
+        humans[name] = {
+            "novel_pose": [ds_pose[i] for i in range(poses_num + 1)],
+            "novel_view": [ds_view[i] for i in range(poses_num)],
+        }
+        start_poses[name] = start
+
+    return evaluate_novel_view_pose(
+        lambda sp, tp, k: renderer.render_view(variables, sp, tp, k),
+        humans, THUMAN_NOVEL_VIEWS, 512, 512, savedir,
+        start_poses=start_poses, verbose=verbose,
+    )
+
+
+def run_synthetic_eval(
+    args, model, variables, smpl_selector, savedir: str, dataset,
+    verbose: bool = True,
+) -> Dict:
+    """Protocol-shaped eval on the synthetic stand-in dataset (novel pose
+    and novel view over the held-out cameras)."""
+    H = W = dataset.H
+    test_ds = type(dataset)(
+        n_poses=max(2, dataset.n_poses), n_cameras=len(dataset.cameras),
+        input_views=dataset.input_view, image_size=H,
+        n_rays=64, n_verts=dataset.subjects[0]["smpl"].n_verts,
+        num_instances=dataset.num_instances, split="test",
+    )
+    novel_views = [
+        v for v in test_ds.output_view if v not in test_ds.input_view
+    ] or test_ds.output_view[:1]
+
+    renderer = ViewRenderer(
+        model, smpl_selector, chunk=min(args.chunk, 8192),
+        n_samples=args.N_samples, white_bkgd=args.white_bkgd,
+    )
+    humans = {}
+    for inst in range(test_ds.num_instances):
+        items = [
+            test_ds.get_item(i, instance_idx=inst)
+            for i in range(test_ds.n_poses)
+        ]
+        humans[f"synthetic_{inst}"] = {
+            "novel_pose": items, "novel_view": items[:-1] or items,
+        }
+    return evaluate_novel_view_pose(
+        lambda sp, tp, k: renderer.render_view(variables, sp, tp, k),
+        humans, novel_views, H, W, savedir, verbose=verbose,
+    )

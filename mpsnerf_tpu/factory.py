@@ -1,0 +1,156 @@
+"""Model and dataset factories.
+
+Behavioral reference: ``/root/reference/model_selection.py`` —
+``return_model`` maps the ``--model`` string to a model class wired from
+the global args; ``return_dataset`` maps ``--data_set_type`` to a dataset
+class with the split windowing args.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from mpsnerf_tpu.models.mps_nerf import MPSNeRF
+
+# model string -> behavior deltas relative to the flagship (the reference's
+# variants share the SKinningBatch pipeline with different deform stages;
+# see lib/skinnning_batch.py:517 (DirectDeform), :883 (CorrectionBatch),
+# :1292 (CoarseBatch), :1637 (CorrectionBatchBlend))
+_MODEL_VARIANTS = {
+    "skinning_batch": {},
+    # CoarseBatch: pure LBS warp, no correction/skinning fields
+    "coarse_batch": {"correction_field": False, "skinning_field": False},
+    # CorrectionBatch: correction field on, no skinning field
+    "correction_batch": {"skinning_field": False},
+    # DirectDeform: skinning-weight field drives the deform directly
+    "direct_deform": {},
+    # CorrectionBatchBlend: blend sampled image rgb via predicted weights
+    "correction_batch_blend": {"blend_rgb": True},
+}
+
+
+def return_model(args: Any) -> MPSNeRF:
+    name = args.model
+    if name not in _MODEL_VARIANTS:
+        raise NotImplementedError(
+            f"model '{name}' (reference: correction_by_f3d family, "
+            "lib/correction.py) is not yet ported to the TPU framework"
+        )
+    extra = dict(_MODEL_VARIANTS[name])
+    blend_rgb = extra.pop("blend_rgb", False)
+    if blend_rgb:
+        raise NotImplementedError(
+            "correction_batch_blend (blend-RGB head) is scheduled"
+        )
+    kwargs = dict(
+        num_instances=args.num_instance,
+        use_transformer=bool(args.use_trans),
+        append_rgb=bool(args.append_rgb),
+        with_viewdirs=bool(args.with_viewdirs),
+        human_sample=bool(args.human_sample),
+        mean_shape=bool(args.mean_shape),
+        correction_field=bool(args.correction_field),
+        skinning_field=bool(args.skinning_field),
+        compact_fraction=(
+            args.compact_fraction
+            if getattr(args, "compact_fraction", None) not in (None, 0)
+            else None
+        ),
+    )
+    kwargs.update(extra)
+    return MPSNeRF(**kwargs)
+
+
+def return_dataset(args: Any, split: str | None = None):
+    """Instantiate the training dataset for ``--data_set_type``."""
+    split = split or args.train_split
+    dst = args.data_set_type
+
+    if dst == "Synthetic":
+        from mpsnerf_tpu.data.synthetic import SyntheticHumanDataset
+
+        return SyntheticHumanDataset(
+            n_poses=args.poses_num,
+            n_cameras=6,
+            image_size=int(512 * args.image_scaling),
+            n_rays=args.N_rand,
+            num_instances=args.num_instance,
+            split=split,
+        )
+
+    if dst in ("THuman_B", "THuman"):
+        from mpsnerf_tpu.data.thuman import THumanDatasetBatch
+
+        return THumanDatasetBatch(
+            args.data_root,
+            split=split,
+            view_num=args.view_num,
+            N_rand=args.N_rand,
+            multi_person=bool(args.multi_person),
+            num_instance=args.num_instance,
+            start=args.start,
+            interval=args.interval,
+            poses_num=args.poses_num,
+            male=args.male,
+            mean_shape=args.mean_shape,
+            model=args.model,
+        )
+
+    if dst == "THuman_P":
+        from mpsnerf_tpu.data.thuman import THumanDatasetPair
+
+        return THumanDatasetPair(
+            args.data_root,
+            split=split,
+            view_num=args.view_num,
+            border=args.border,
+            N_rand=args.N_rand,
+            multi_person=bool(args.multi_person),
+            num_instance=args.num_instance,
+            start=args.start,
+            interval=args.interval,
+            poses_num=args.poses_num,
+            random_pair=bool(args.random_pair),
+            male=args.male,
+            mean_shape=args.mean_shape,
+        )
+
+    if dst in ("H36M_B", "H36M", "H36M_B_All"):
+        from mpsnerf_tpu.data.h36m import H36MDatasetBatch
+
+        return H36MDatasetBatch(
+            args.data_root,
+            split=split,
+            view_num=args.view_num,
+            N_rand=args.N_rand,
+            multi_person=bool(args.multi_person),
+            num_instance=args.num_instance,
+            start=args.start,
+            interval=args.interval,
+            poses_num=args.poses_num,
+            mean_shape=args.mean_shape,
+            new_mask=args.new_mask,
+        )
+
+    if dst == "H36M_P":
+        from mpsnerf_tpu.data.h36m import H36MDatasetPair
+
+        return H36MDatasetPair(
+            args.data_root,
+            split=split,
+            view_num=args.view_num,
+            border=args.border,
+            N_rand=args.N_rand,
+            multi_person=bool(args.multi_person),
+            num_instance=args.num_instance,
+            start=args.start,
+            interval=args.interval,
+            poses_num=args.poses_num,
+            random_pair=bool(args.random_pair),
+            mean_shape=args.mean_shape,
+        )
+
+    raise NotImplementedError(
+        f"data_set_type '{dst}' is not available "
+        "(reference: model_selection.py:88-230)"
+    )

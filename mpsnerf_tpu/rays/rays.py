@@ -206,7 +206,96 @@ def sample_rays_batch(
             bkgd_msk=out["bkgd_msk"].astype(np.float32),
         )
 
-    # test: full image
+    return _full_image_rays(img, msk, ray_o, ray_d, bounds)
+
+
+def sample_rays_h36m_batch(
+    img: np.ndarray,
+    msk: np.ndarray,
+    K: np.ndarray,
+    R: np.ndarray,
+    T: np.ndarray,
+    bounds: np.ndarray,
+    n_rays: int,
+    split: str,
+    body_ratio: float = 0.6,
+    rng: Optional[np.random.Generator] = None,
+) -> RayBatch:
+    """H36M variant (ref if_nerf_data_utils.py:393-513): masks carry the
+    erode/dilate levels 100 (inner border) and 200 (outer border); both are
+    excluded from the projected box, and the non-body budget splits 50/50
+    between in-box background and outer-border (msk==200) rays."""
+    if rng is None:
+        rng = np.random.default_rng()
+    H, W = img.shape[:2]
+    ray_o, ray_d = get_rays(H, W, K, R, T)
+    pose = np.concatenate([R, T.reshape(3, 1)], axis=1)
+    bound_mask = get_bound_2d_mask(bounds, K, pose, H, W)
+
+    msk = msk * bound_mask
+    bound_mask = bound_mask.copy()
+    bound_mask[msk == 100] = 0
+    bound_mask[msk == 200] = 0
+    img = img.copy()
+    img[bound_mask != 1] = 0
+
+    if split != "train":
+        return _full_image_rays(img, msk, ray_o, ray_d, bounds)
+
+    lists = {k: [] for k in RayBatch._fields}
+    n_sampled = 0
+    coord_body = np.argwhere(msk == 1)
+    coord_bg = np.argwhere((bound_mask == 1) & (msk != 1))
+    coord_outer = np.argwhere((bound_mask == 0) & (msk == 200))
+    if len(coord_body) == 0:
+        coord_body = np.argwhere(bound_mask == 1)
+    if len(coord_bg) == 0:
+        coord_bg = coord_body
+    if len(coord_outer) == 0:
+        coord_outer = coord_bg
+
+    while n_sampled < n_rays:
+        n_body = int((n_rays - n_sampled) * body_ratio)
+        n_rand = int(((n_rays - n_sampled) - n_body) * 0.5)
+        n_rand_2 = (n_rays - n_sampled) - n_body - n_rand
+
+        cb = coord_body[rng.integers(0, len(coord_body), n_body)]
+        cg = coord_bg[rng.integers(0, len(coord_bg), n_rand)]
+        co = coord_outer[rng.integers(0, len(coord_outer), n_rand_2)]
+        coord = np.concatenate([cb, cg, co], axis=0)
+        bkgd = np.concatenate(
+            [np.ones((n_body, 1)), np.zeros((n_rand + n_rand_2, 1))], axis=0
+        )
+
+        o = ray_o[coord[:, 0], coord[:, 1]]
+        d = ray_d[coord[:, 0], coord[:, 1]]
+        rgb = img[coord[:, 0], coord[:, 1]]
+        near, far, hit = get_near_far(bounds, o, d)
+
+        lists["ray_o"].append(o[hit])
+        lists["ray_d"].append(d[hit])
+        lists["rgb"].append(rgb[hit])
+        lists["near"].append(near)
+        lists["far"].append(far)
+        lists["coord"].append(coord[hit])
+        lists["bkgd_msk"].append(bkgd[hit])
+        lists["mask_at_box"].append(hit[hit])
+        n_sampled += len(near)
+
+    out = {k: np.concatenate(v)[:n_rays] for k, v in lists.items()}
+    return RayBatch(
+        rgb=out["rgb"].astype(np.float32),
+        ray_o=out["ray_o"].astype(np.float32),
+        ray_d=out["ray_d"].astype(np.float32),
+        near=out["near"].astype(np.float32),
+        far=out["far"].astype(np.float32),
+        coord=out["coord"].astype(np.int64),
+        mask_at_box=out["mask_at_box"],
+        bkgd_msk=out["bkgd_msk"].astype(np.float32),
+    )
+
+
+def _full_image_rays(img, msk, ray_o, ray_d, bounds) -> RayBatch:
     rgb = img.reshape(-1, 3).astype(np.float32)
     o = ray_o.reshape(-1, 3).astype(np.float32)
     d = ray_d.reshape(-1, 3).astype(np.float32)

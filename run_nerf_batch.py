@@ -1,0 +1,198 @@
+#!/usr/bin/env python
+"""Training / evaluation CLI — mirrors the reference surface.
+
+Usage (same as the reference):
+    python run_nerf_batch.py --config configs/canonical_transformer.txt
+    python run_nerf_batch.py --config configs/h36m.txt --test_persons 0
+    python run_nerf_batch.py --config ... --save_weights 0   # eval only
+
+Behavioral reference: ``/root/reference/run_nerf_batch.py:447-661``
+(``train``): one optimizer step per output view per item, checkpoint every
+``i_weights`` (primary process only), eval every ``i_testset``, eval-only
+mode when ``save_weights == 0``; args dumped to ``<basedir>/<exp>/args.txt``.
+
+TPU-native differences: the device work is a single jitted view-step (two
+compiled variants for the smooth-loss cadence), rays shard over a device
+mesh instead of DataParallel, and randomness is keyed from ``--seed``.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main(argv=None):
+    from mpsnerf_tpu.config import parse_args, print_args, dump_args
+
+    args = parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    if args.debug_nans:
+        jax.config.update("jax_debug_nans", True)
+
+    print_args(args)
+    basedir, expname = args.basedir, args.expname or "exp"
+    dump_args(args, basedir, expname)
+
+    from mpsnerf_tpu.factory import return_dataset, return_model
+    from mpsnerf_tpu.smpl.assets import load_smpl_models
+    from mpsnerf_tpu.train.trainer import (
+        Trainer, TrainConfig, to_device_input,
+    )
+    from mpsnerf_tpu.train.checkpoint import restore_latest, save_checkpoint
+    from mpsnerf_tpu.train.metrics import MetricWriter
+
+    rng = np.random.default_rng(args.seed)
+    key = jax.random.PRNGKey(args.seed)
+
+    dataset = return_dataset(args)
+    model = return_model(args)
+    smpl_models = load_smpl_models()
+    pair_mode = args.data_set_type in ("H36M_P", "THuman_P")
+
+    # --- init params from one example item
+    first = dataset[0]
+    sp0 = first["sp_input"] if pair_mode else first
+    inp0 = to_device_input(sp0)
+    smpl0 = smpl_models[int(sp0["gender"])]
+    key, sub = jax.random.split(key)
+    variables = jax.jit(model.init, static_argnames=("train",))(
+        {"params": sub}, smpl0, inp0, inp0,
+        jnp.zeros((8, 3)), jnp.zeros((8, 3)), train=False,
+    )
+    n_params = sum(x.size for x in jax.tree.leaves(variables["params"]))
+    print(f"Model '{args.model}': {n_params/1e6:.2f}M params")
+
+    cfg = TrainConfig(
+        lrate=args.lrate,
+        decay_steps=args.decay_steps,
+        n_samples=args.N_samples,
+        perturb=args.perturb,
+        occupancy=bool(args.occupancy),
+        white_bkgd=args.white_bkgd,
+        acc_loss=bool(args.acc_loss),
+        correction_loss=bool(args.correction_loss),
+        consistency_loss=bool(args.consistency_loss),
+        density_loss=bool(args.density_loss),
+        smooth_loss=bool(args.smooth_loss),
+        smooth_interval=args.smooth_interval,
+        pair_mode=pair_mode,
+    )
+
+    # --- checkpoint resume (latest in dir; optimizer fresh, ref quirk)
+    start = 0
+    if not args.no_reload:
+        from mpsnerf_tpu.train.trainer import create_train_state
+
+        target = create_train_state(model, variables, cfg)
+        step, restored = restore_latest(basedir, expname, target=target)
+        if restored is not None:
+            print(f"Reloading from step {step}")
+            variables = {
+                "params": restored.params,
+                "batch_stats": restored.batch_stats,
+            }
+            start = step
+
+    trainer = Trainer(model, cfg, variables, start_step=start)
+    writer = MetricWriter(basedir, expname)
+
+    def smpl_selector(gender: int):
+        return smpl_models[gender]
+
+    def run_eval(tag: str):
+        from mpsnerf_tpu.eval import runner as eval_runner
+
+        savedir = os.path.join(basedir, expname, tag)
+        os.makedirs(savedir, exist_ok=True)
+        vv = {
+            "params": trainer.state.params,
+            "batch_stats": trainer.state.batch_stats,
+        }
+        if args.data_set_type == "Synthetic":
+            return eval_runner.run_synthetic_eval(
+                args, model, vv, smpl_selector, savedir, dataset
+            )
+        if args.data_set_type in ("THuman_B", "THuman"):
+            return eval_runner.run_thuman_eval(
+                args, model, vv, smpl_selector, savedir
+            )
+        raise NotImplementedError(
+            f"eval protocol for {args.data_set_type} not wired yet"
+        )
+
+    # --- eval-only mode (ref run_nerf_batch.py:499-519)
+    if args.save_weights == 0:
+        tag = f"testset_{trainer.global_step:06d}_more_real_ssim_psnr"
+        print("Begin to test, save_weights == 0")
+        run_eval(tag)
+        print("Saved test set")
+        return
+
+    # --- training loop
+    n_iters = args.N_iteration + 1
+    running = []
+    last_print = last_ckpt = last_eval = trainer.global_step
+    t0 = time.time()
+    while trainer.global_step < n_iters:
+        idx = int(rng.integers(len(dataset)))
+        item = dataset[idx]
+        if pair_mode:
+            sp_item, tp_item = item["sp_input"], item["tp_input"]
+        else:
+            sp_item = tp_item = item
+        smpl = smpl_models[int(sp_item["gender"])]
+        sp = to_device_input(sp_item)
+        tp = sp if not pair_mode else to_device_input(tp_item)
+
+        key, sub = jax.random.split(key)
+        logs = trainer.train_item(smpl, sp, tp, sub)
+        running.append(logs)
+        gs = trainer.global_step
+
+        # cadence checks fire when the view-step counter crosses a multiple
+        # (steps advance by the view count per item)
+        if gs // args.i_print > last_print // args.i_print:
+            last_print = gs
+            mean = {
+                k: float(np.mean([r[k] for r in running]))
+                for k in running[0]
+            }
+            dt = (time.time() - t0) / max(1, len(running))
+            writer.add_scalars(gs, mean)
+            print(
+                f"[TRAIN] Iter: {gs}  Loss: {round(mean['loss'], 5)} "
+                f"PSNR: {round(mean['psnr'], 3)}  Time: {round(dt, 3)} s/item"
+            )
+            running = []
+            t0 = time.time()
+
+        if (
+            gs // args.i_weights > last_ckpt // args.i_weights
+            and args.save_weights
+        ):
+            last_ckpt = gs
+            path = save_checkpoint(
+                basedir, expname, gs, trainer.state,
+                is_primary=jax.process_index() == 0,
+            )
+            if path:
+                print("Saved checkpoints at", path)
+
+        if gs // args.i_testset > last_eval // args.i_testset:
+            last_eval = gs
+            try:
+                run_eval(f"testset_{gs:06d}")
+                print("Saved test set")
+            except NotImplementedError as e:
+                print("eval skipped:", e)
+
+
+if __name__ == "__main__":
+    main()

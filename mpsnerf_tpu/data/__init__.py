@@ -1,4 +1,14 @@
 from mpsnerf_tpu.data.synthetic import SyntheticHumanDataset
 from mpsnerf_tpu.data.voxelize import voxelize_vertices
 
-__all__ = ["SyntheticHumanDataset", "voxelize_vertices"]
+
+def attach_spconv_plan(item):
+    """Add the sparse-conv gather tables for this item's voxelization
+    (needed when correction_field is enabled)."""
+    from mpsnerf_tpu.models.sparse_conv import build_plan
+
+    item["spconv_plan"] = build_plan(item["coord"], item["out_sh"])
+    return item
+
+
+__all__ = ["SyntheticHumanDataset", "voxelize_vertices", "attach_spconv_plan"]

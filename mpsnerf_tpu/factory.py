@@ -51,6 +51,7 @@ def return_model(args: Any) -> MPSNeRF:
         mean_shape=bool(args.mean_shape),
         correction_field=bool(args.correction_field),
         skinning_field=bool(args.skinning_field),
+        pair_mode=args.data_set_type in ("H36M_P", "THuman_P"),
         compact_fraction=(
             args.compact_fraction
             if getattr(args, "compact_fraction", None) not in (None, 0)

@@ -40,6 +40,7 @@ from mpsnerf_tpu.ops.compact import plan_compaction, compact, expand
 from mpsnerf_tpu.models.resnet import SpatialEncoder
 from mpsnerf_tpu.models.transformer import ViewFusionTransformer
 from mpsnerf_tpu.models.deform import DeformField
+from mpsnerf_tpu.models.sparse_conv import SparseConvNet3D
 from mpsnerf_tpu.ops.positional import positional_encoding
 from mpsnerf_tpu.ops.grid_sample import index_features, grid_sample_2d
 from mpsnerf_tpu.ops.knn import nearest_vertex
@@ -107,6 +108,10 @@ class MPSNeRF(nn.Module):
     nerf_depth: int = 8
     nerf_skips: tuple = (4,)
     bn_axis_name: Optional[str] = None
+    # pair training (H36M_P/THuman_P): the correction field's aggregated
+    # 2D feature is sampled at the coarse source-warped points instead of
+    # the raw query points (ref skinnning_batch.py:378-382)
+    pair_mode: bool = False
     # static capacity for masked-point compaction as a fraction of the
     # query count; None disables (full masked compute, exact reference
     # semantics even at capacity overflow)
@@ -124,6 +129,7 @@ class MPSNeRF(nn.Module):
             embedding_init=nn.initializers.normal(stddev=0.01),
         )
         if self.correction_field:
+            self.encoder_3d = SparseConvNet3D()
             self.forward_deform = DeformField(
                 depth=2, out_ch=3, deform_type="correction"
             )
@@ -171,9 +177,10 @@ class MPSNeRF(nn.Module):
         rgb = self.rgb_linear(h)
         return rgb, alpha
 
-    def _view_features(self, sp_input, latent, world_src_pts):
+    def _view_features(self, sp_input, latent, world_src_pts, fuse=True):
         """Project points into each source view, gather pixel-aligned
-        features (+ PE'd sampled rgb), fuse across views."""
+        features (+ PE'd sampled rgb), fuse across views.  With
+        ``fuse=False`` returns the raw per-view stack (V, N, C)."""
         R_all = sp_input["R_all"]          # (V, 3, 3)
         T_all = sp_input["T_all"].reshape(-1, 3, 1)
         K_all = sp_input["K_all"]          # (V, 3, 3)
@@ -197,6 +204,9 @@ class MPSNeRF(nn.Module):
             rgb_s = grid_sample_2d(img_all, coords).transpose(0, 2, 1)  # (V,N,3)
             rgb_pe = positional_encoding(rgb_s, 4)  # (V, N, 27)
             feats = jnp.concatenate([feats, rgb_pe], axis=-1)
+
+        if not fuse:
+            return feats
 
         if self.use_transformer:
             fused = self.transformer(feats.transpose(1, 0, 2))  # (N, V, C)
@@ -225,7 +235,7 @@ class MPSNeRF(nn.Module):
         tf_s = PoseTransforms.create(smpl, sp_params)
 
         geometry_only = mode in ("extract_mesh", "mesh_animation")
-        plan = None
+        cplan = None
 
         if not geometry_only:
             smpl_query_pts = world_to_smpl(world_pts, tf_t.R, tf_t.Th)
@@ -248,10 +258,10 @@ class MPSNeRF(nn.Module):
                 # points -> rendered as empty; capacity 1.0 never drops.
                 cap = int(np.ceil(n * self.compact_fraction / 1024)) * 1024
                 cap = max(1024, min(cap, n))
-                plan = plan_compaction(pts_mask, cap)
-                q_pts = compact(plan, smpl_query_pts)
-                q_ids = compact(plan, vert_ids_t)
-                q_vd = compact(plan, viewdirs)
+                cplan = plan_compaction(pts_mask, cap)
+                q_pts = compact(cplan, smpl_query_pts)
+                q_ids = compact(cplan, vert_ids_t)
+                q_vd = compact(cplan, viewdirs)
 
             coarse_can = deform_target_to_canonical(
                 smpl, tf_t, q_pts, q_ids, self.mean_shape
@@ -263,13 +273,47 @@ class MPSNeRF(nn.Module):
             q_pts, q_vd = world_pts, viewdirs
             pts_mask = jnp.ones((n,), jnp.int32)
 
-        correction = jnp.zeros((n, 3), world_pts.dtype)
-        if self.correction_field:
-            raise NotImplementedError(
-                "correction_field requires the sparse 3D encoder "
-                "(scheduled; the shipped configs train with it disabled — "
-                "configs/canonical_transformer.txt: correction_field = 0)"
+        # correction field: spconv features + aggregated 2D features drive a
+        # zero-init MLP refining the coarse canonical points
+        # (ref skinnning_batch.py:374-391)
+        correction_c = jnp.zeros_like(coarse_can)
+        if self.correction_field and not geometry_only:
+            splan = tp_input["spconv_plan"]
+            bounds = tp_input["bounds"]
+            center = 0.5 * (bounds[0] + bounds[1])
+            halfext = 0.5 * (bounds[1] - bounds[0])
+            norm_pts = (q_pts - center) / halfext
+            p3d = self.encoder_3d(
+                tp_input["feature"], splan, norm_pts, train=train
+            )  # (K, 32)
+
+            # aggregated pixel-aligned feature at the (detached) query pts
+            if self.pair_mode:
+                _, coarse_world_src, _ = deform_canonical_to_source(
+                    smpl, tf_s, coarse_can,
+                    nearest_vertex(
+                        jax.lax.stop_gradient(coarse_can),
+                        sp_input["t_vertices"],
+                    )[1],
+                    None, self.mean_shape,
+                )
+                agg_pts = coarse_world_src
+            else:
+                # world-space query points of the compacted set
+                agg_pts = jax.lax.stop_gradient(
+                    compact(cplan, world_pts) if cplan is not None
+                    else world_pts
+                )
+            agg = self._view_features(
+                sp_input, latent, agg_pts, fuse=False
+            )  # (V, K, C); mean over views of the image channels only
+            agg = jnp.mean(agg[..., : self.encoder_2d.latent_channels], axis=0)
+
+            fused = jnp.concatenate(
+                [positional_encoding(q_pts, 6), p3d, agg], axis=-1
             )
+            correction_c = self.forward_deform(fused)
+            coarse_can = coarse_can + correction_c
 
         # --- tail: everything downstream of the canonical points.  Wrapped
         # as a function of can_pts so the occupancy normal is one vjp call.
@@ -283,7 +327,9 @@ class MPSNeRF(nn.Module):
                 jax.lax.stop_gradient(can_pts), t_vertices
             )
             if self.skinning_field:
-                embed = self.latent_codes(instance_idx)  # (128,)
+                # (1,)-shaped index: flax Embed mis-broadcasts scalar
+                # indices when num_embeddings == 1
+                embed = self.latent_codes(instance_idx[None])[0]  # (128,)
                 code = jnp.concatenate(
                     [
                         positional_encoding(can_pts, 6),
@@ -327,17 +373,20 @@ class MPSNeRF(nn.Module):
             occ_normal = jnp.zeros((k, 3), world_pts.dtype)
             nearest_smpl_normal = jnp.zeros((k, 3), world_pts.dtype)
 
-        if plan is not None:
+        if cplan is not None:
             # scatter compacted results back to the full point set; the
             # effective mask is ``take`` (valid AND within capacity)
-            pts_mask = plan.take.astype(jnp.int32)
-            rgb = expand(plan, rgb, 0.0)
-            alpha = expand(plan, alpha, 0.0)
-            smpl_src = expand(plan, smpl_src, 0.0)
-            world_src = expand(plan, world_src, 0.0)
-            bweights = expand(plan, bweights, 0.0)
-            occ_normal = expand(plan, occ_normal, 0.0)
-            nearest_smpl_normal = expand(plan, nearest_smpl_normal, 0.0)
+            pts_mask = cplan.take.astype(jnp.int32)
+            rgb = expand(cplan, rgb, 0.0)
+            alpha = expand(cplan, alpha, 0.0)
+            smpl_src = expand(cplan, smpl_src, 0.0)
+            world_src = expand(cplan, world_src, 0.0)
+            bweights = expand(cplan, bweights, 0.0)
+            occ_normal = expand(cplan, occ_normal, 0.0)
+            nearest_smpl_normal = expand(cplan, nearest_smpl_normal, 0.0)
+            correction = expand(cplan, correction_c, 0.0)
+        else:
+            correction = correction_c
 
         # --- mask fill (ref: raw[pts_mask==0] = -80)
         maskf = pts_mask.astype(rgb.dtype)[:, None]

@@ -121,6 +121,9 @@ def make_train_step(
                 variables, sp_input["img_all"], train=True,
                 mutable=["batch_stats"], method=MPSNeRF.encode,
             )
+            # the 3D encoder (correction field) carries BatchNorm too —
+            # thread its running-stat updates through the query calls
+            bs = {"stats": mutated["batch_stats"]}
 
             r = rays_o.shape[0]
             z_vals = stratified_z_vals(
@@ -134,11 +137,14 @@ def make_train_step(
             pts_flat = pts.reshape(-1, 3)
 
             def query(p):
-                return model.apply(
-                    variables, smpl, sp_input, tp_input, latent, p, vd_flat,
+                out, mut = model.apply(
+                    {"params": params, "batch_stats": bs["stats"]},
+                    smpl, sp_input, tp_input, latent, p, vd_flat,
                     train=True, compute_normals=smooth,
-                    method=MPSNeRF.query,
+                    method=MPSNeRF.query, mutable=["batch_stats"],
                 )
+                bs["stats"] = mut["batch_stats"]
+                return out
 
             raw: RawOutput = query(pts_flat)
             raw_perturbed = None
@@ -173,7 +179,7 @@ def make_train_step(
                 use_density_loss=cfg.density_loss,
                 pose_match=pose_match,
             )
-            return terms.total, (terms, mutated["batch_stats"], out.rgb_map)
+            return terms.total, (terms, bs["stats"], out.rgb_map)
 
         grads, (terms, new_bs, rgb_map) = jax.grad(
             loss_fn, has_aux=True
@@ -208,6 +214,8 @@ def to_device_input(item: Dict) -> Dict:
     for k, v in item.items():
         if isinstance(v, dict):
             out[k] = {kk: jnp.asarray(vv) for kk, vv in v.items()}
+        elif isinstance(v, tuple):  # NamedTuple (e.g. SparseConvPlan)
+            out[k] = jax.tree.map(jnp.asarray, v)
         else:
             out[k] = jnp.asarray(v)
     return out

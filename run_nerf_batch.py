@@ -59,6 +59,10 @@ def main(argv=None):
     # --- init params from one example item
     first = dataset[0]
     sp0 = first["sp_input"] if pair_mode else first
+    if args.correction_field:
+        from mpsnerf_tpu.data import attach_spconv_plan
+
+        attach_spconv_plan(sp0)
     inp0 = to_device_input(sp0)
     smpl0 = smpl_models[int(sp0["gender"])]
     key, sub = jax.random.split(key)
@@ -147,6 +151,10 @@ def main(argv=None):
             sp_item, tp_item = item["sp_input"], item["tp_input"]
         else:
             sp_item = tp_item = item
+        if args.correction_field:
+            from mpsnerf_tpu.data import attach_spconv_plan
+
+            attach_spconv_plan(tp_item)
         smpl = smpl_models[int(sp_item["gender"])]
         sp = to_device_input(sp_item)
         tp = sp if not pair_mode else to_device_input(tp_item)

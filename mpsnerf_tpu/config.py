@@ -117,9 +117,16 @@ def config_parser() -> argparse.ArgumentParser:
     return p
 
 
-def parse_args(argv: Optional[Sequence[str]] = None) -> argparse.Namespace:
-    """configargparse-equivalent: file values become defaults, CLI wins."""
-    parser = config_parser()
+def parse_args(
+    argv: Optional[Sequence[str]] = None,
+    parser: Optional[argparse.ArgumentParser] = None,
+) -> argparse.Namespace:
+    """configargparse-equivalent: file values become defaults, CLI wins.
+
+    Pass a pre-extended ``parser`` (e.g. with script-specific flags) to
+    keep the config-file merge for scripts like extract_thuman_mesh.
+    """
+    parser = parser or config_parser()
     args, _ = parser.parse_known_args(argv)
     if args.config:
         file_vals = _read_config_file(args.config)

@@ -119,6 +119,30 @@ def deform_target_to_canonical(
     return can
 
 
+def deform_target_to_canonical_with_weights(
+    smpl: SMPLModel,
+    tf: PoseTransforms,
+    query_pts: jnp.ndarray,   # (N, 3) in target SMPL space
+    bweights: jnp.ndarray,    # (N, 24) explicit blend weights
+    mean_shape: bool = False,
+) -> jnp.ndarray:
+    """Inverse-LBS with caller-provided blend weights (the mesh-animation
+    path interpolates baked per-vertex weights at ray-surface hits —
+    ref lib/mesh_animation_renderer.py:291-299).  With ``mean_shape`` the
+    blend-offset gathers fall back to the nearest-vertex lookup."""
+    A = _blend_A(bweights, tf.A)
+    can = query_pts - A[:, :3, 3]
+    can = jnp.einsum("nij,nj->ni", inv3x3(A[:, :3, :3]), can)
+    if mean_shape:
+        from mpsnerf_tpu.ops.knn import nearest_vertex
+
+        _, vert_ids = nearest_vertex(query_pts, smpl.v_template)
+        can = can - tf.pose_offsets[vert_ids]
+        can = can - tf.shape_offsets[vert_ids]
+    A_b = _blend_A(bweights, tf.A_big)
+    return jnp.einsum("nij,nj->ni", A_b[:, :3, :3], can) + A_b[:, :3, 3]
+
+
 def deform_canonical_to_source(
     smpl: SMPLModel,
     tf: PoseTransforms,

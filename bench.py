@@ -69,13 +69,14 @@ def main():
         variables, inp["img_all"], train=False, method="encode",
     )
 
+    from mpsnerf_tpu.renderer.render import render_rays_mapped
+
     @jax.jit
-    def chunk_fn(ro, rd, nr, fr, key):
-        out = render_rays(
+    def image_fn(ro, rd, nr, fr, key):
+        return render_rays_mapped(
             model, variables, smpl, inp, inp, latent, ro, rd, nr, fr,
-            key, n_samples=N_SAMPLES, perturb=0.0, train=False,
+            key, chunk=CHUNK, n_samples=N_SAMPLES, perturb=0.0, train=False,
         )
-        return out.rgb_map, out.disp_map, out.acc_map
 
     n_rays = ray_o.shape[0]
     n_pad = ((n_rays + CHUNK - 1) // CHUNK) * CHUNK
@@ -84,21 +85,19 @@ def main():
         return np.concatenate([x, np.zeros((n_pad - len(x),) + x.shape[1:],
                                            x.dtype)])
 
-    ro, rd = pad(ray_o), pad(ray_d)
-    nr, fr = pad(near_all), pad(far_all)
+    ro = jnp.asarray(pad(ray_o))
+    rd = jnp.asarray(pad(ray_d))
+    nr = jnp.asarray(pad(near_all))
+    fr = jnp.asarray(pad(far_all))
     key = jax.random.PRNGKey(0)
 
     def render_full():
-        outs = []
-        for i in range(0, n_pad, CHUNK):
-            r = chunk_fn(
-                jnp.asarray(ro[i:i + CHUNK]), jnp.asarray(rd[i:i + CHUNK]),
-                jnp.asarray(nr[i:i + CHUNK]), jnp.asarray(fr[i:i + CHUNK]),
-                key,
-            )
-            outs.append(r)
-        jax.block_until_ready(outs)
-        return outs
+        out = image_fn(ro, rd, nr, fr, key)
+        # fetch real values: on the tunneled backend block_until_ready
+        # returns before execution completes — only a host transfer of the
+        # result is a true synchronization point (and users fetch images
+        # anyway, so the transfer belongs in the measurement)
+        return np.asarray(out[0])
 
     render_full()  # warm-up / compile
 

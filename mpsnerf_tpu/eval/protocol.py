@@ -45,9 +45,12 @@ def _eval_pass(
     save_path: str,
     frame_offset: int = 0,
     verbose: bool = True,
+    gt_fn: Optional[Callable] = None,
 ):
     """One pass over poses x views.  ``sp_index`` selects a fixed source
     item (novel-pose mode); None means sp == tp (novel-view mode).
+    ``gt_fn(item, k) -> (H, W, 3)`` overrides the GT source (H36M uses
+    the unmasked original image, all_test.py:402).
     Returns (mse, psnr, ssim) lists-of-lists [pose][view]."""
     os.makedirs(save_path, exist_ok=True)
     all_mse, all_psnr, all_ssim = [], [], []
@@ -63,7 +66,10 @@ def _eval_pass(
             if verbose:
                 print("Time per image: ", time.time() - t0)
 
-            target = np.asarray(item["rgb_all"][k]).reshape(H, W, 3)
+            if gt_fn is not None:
+                target = np.asarray(gt_fn(item, k)).reshape(H, W, 3)
+            else:
+                target = np.asarray(item["rgb_all"][k]).reshape(H, W, 3)
             pred = np.asarray(rgb_pred).reshape(H, W, 3)
             mask = np.asarray(item["mask_at_box_all"][k]).reshape(H, W) > 0
 
@@ -109,6 +115,7 @@ def evaluate_novel_view_pose(
     savedir: str,
     start_poses: Optional[Dict[str, int]] = None,
     verbose: bool = True,
+    gt_fn: Optional[Callable] = None,
 ) -> Dict:
     """Run both protocol passes for every human and serialize metrics.
 
@@ -141,7 +148,7 @@ def evaluate_novel_view_pose(
             mse, psnr, ssim = _eval_pass(
                 render_view, items, sp_mode, novel_views, H, W, save_path,
                 frame_offset=start_poses.get(name, 0) if sp_mode == 0 else 0,
-                verbose=verbose,
+                verbose=verbose, gt_fn=gt_fn,
             )
             h_mse.append(mse)
             h_psnr.append(psnr)

@@ -25,13 +25,15 @@ THUMAN_NOVEL_VIEWS = [1, 5, 7, 11, 13, 17, 19, 23]
 THUMAN_START_POSES = [20, 24, 27, 25, 28]
 THUMAN_TEST_RANGE = (25, 30)
 
-# test_H36M per-subject (input_pose, test pose range) tables
-# (ref all_test.py:316-322)
-H36M_POSE_TABLES = {
-    0: {"input_pose": 0, "start": 1, "num": 49},
-    1: {"input_pose": 0, "start": 1, "num": 49},
-    2: {"input_pose": 0, "start": 1, "num": 49},
-}
+# test_H36M per-subject tables (ref all_test.py:316-322): pose counts,
+# novel-view window sizes, input poses, and novel-pose start frames for
+# subjects S1..S11
+H36M_SUBJECTS = ["S1", "S5", "S6", "S7", "S8", "S9", "S11"]
+H36M_ROOTS = [f"./data/h36m/{s}/Posing" for s in H36M_SUBJECTS]
+H36M_POSES_NUM = [49, 127, 83, 200, 87, 133, 82]
+H36M_NOVEL_VIEW_POSES_NUM = [150, 250, 150, 300, 250, 260, 200]
+H36M_INPUT_POSE = [250, 30, 1050, 820, 370, 20, 20]
+H36M_START_POSE = [750, 1250, 750, 1500, 1250, 1300, 1000]
 H36M_NOVEL_VIEW = [3]
 
 
@@ -180,6 +182,63 @@ def run_thuman_eval(
         lambda sp, tp, k: renderer.render_view(variables, sp, tp, k),
         humans, THUMAN_NOVEL_VIEWS, 512, 512, savedir,
         start_poses=start_poses, verbose=verbose,
+    )
+
+
+def run_h36m_eval(
+    args, model, variables, smpl_selector, savedir: str,
+    dataset_cls=None, verbose: bool = True,
+) -> Dict:
+    """``test_H36M`` equivalent for one subject (``--test_persons``):
+    novel view = camera 3 at 1000x1000, rays pre-masked by mask_at_box
+    (all_test.py:384-387), GT = the unmasked original image
+    (``o_img_all``, :402)."""
+    if dataset_cls is None:
+        from mpsnerf_tpu.data.h36m import H36MDatasetBatch as dataset_cls
+
+    p = int(args.test_persons)
+    name = H36M_SUBJECTS[p]
+    root = H36M_ROOTS[p]
+    common = dict(
+        split=args.test_split, view_num=args.view_num,
+        mean_shape=args.mean_shape, new_mask=args.new_mask,
+        multi_person=False,
+    )
+
+    sp_ds = dataset_cls(root, start=H36M_INPUT_POSE[p], interval=1,
+                        poses_num=1, **common)
+    pose_ds = dataset_cls(root, start=H36M_START_POSE[p], interval=5,
+                          poses_num=H36M_POSES_NUM[p], **common)
+    view_ds = dataset_cls(root, start=0, interval=5,
+                          poses_num=H36M_NOVEL_VIEW_POSES_NUM[p], **common)
+
+    humans = {
+        name: {
+            "novel_pose": [sp_ds[0]] + [
+                pose_ds[i] for i in range(H36M_POSES_NUM[p])
+            ],
+            "novel_view": [
+                view_ds[i] for i in range(H36M_NOVEL_VIEW_POSES_NUM[p])
+            ],
+        }
+    }
+
+    renderer = ViewRenderer(
+        model, smpl_selector, chunk=args.chunk, n_samples=args.N_samples,
+        white_bkgd=args.white_bkgd,
+    )
+
+    def render_view(sp, tp, k):
+        mask = np.asarray(tp["mask_at_box_all"][k])
+        return renderer.render_view(variables, sp, tp, k, ray_mask=mask)
+
+    def gt_fn(item, k):
+        return np.asarray(item["o_img_all"][k]).transpose(1, 2, 0)
+
+    return evaluate_novel_view_pose(
+        render_view, humans, H36M_NOVEL_VIEW, 1000, 1000, savedir,
+        start_poses={name: H36M_START_POSE[p]}, verbose=verbose,
+        gt_fn=gt_fn,
     )
 
 

@@ -209,9 +209,9 @@ class MPSNeRF(nn.Module):
             return feats
 
         if self.use_transformer:
-            fused = self.transformer(feats.transpose(1, 0, 2))  # (N, V, C)
-            f1 = fused[:, 0, :]
-            f2 = fused[:, 1, :]
+            fused = self.transformer(feats)  # (V, N, C), view-major
+            f1 = fused[0]
+            f2 = fused[1]
         else:
             f1 = f2 = jnp.mean(feats, axis=0)
         return f1, f2

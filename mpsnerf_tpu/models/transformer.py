@@ -19,26 +19,55 @@ from mpsnerf_tpu.models.layers import TorchLinear
 
 
 class _Attention(nn.Module):
+    """Attention over the (tiny, static) view axis.
+
+    Input layout is (V, N, D) — V <= 12 views, N ~1e5 points.  The naive
+    (N, V, D) einsum formulation relayouts the huge N axis around the tiny
+    V axis and runs ~15x off speed-of-light on TPU (measured); here V is
+    unrolled so every array stays (N, lanes)-shaped: the V*V attention
+    logits are plain reductions and the value mix is V weighted adds.
+    """
+
     dim: int
     heads: int = 4
     dim_head: int = 64
 
     @nn.compact
-    def __call__(self, x):  # x: (N, V, D)
+    def __call__(self, x):  # x: (V, N, D)
+        v_views, n, _ = x.shape
         inner = self.heads * self.dim_head
         qkv = TorchLinear(inner * 3, use_bias=False, name="to_qkv")(x)
-        q, k, v = jnp.split(qkv, 3, axis=-1)
+        scale = self.dim_head ** -0.5
 
-        def heads(t):  # (N, V, inner) -> (N, H, V, dh)
-            n, s, _ = t.shape
-            return t.reshape(n, s, self.heads, self.dim_head).transpose(0, 2, 1, 3)
+        # per-view slices, kept (N, inner)
+        qs = [qkv[i, :, 0 * inner : 1 * inner] for i in range(v_views)]
+        ks = [qkv[i, :, 1 * inner : 2 * inner] for i in range(v_views)]
+        vs = [qkv[i, :, 2 * inner : 3 * inner] for i in range(v_views)]
 
-        q, k, v = heads(q), heads(k), heads(v)
-        attn = jnp.einsum("nhid,nhjd->nhij", q, k) * (self.dim_head ** -0.5)
-        attn = nn.softmax(attn, axis=-1)
-        out = jnp.einsum("nhij,nhjd->nhid", attn, v)
-        n, h, s, d = out.shape
-        out = out.transpose(0, 2, 1, 3).reshape(n, s, h * d)
+        def head(t, h):
+            return t[:, h * self.dim_head : (h + 1) * self.dim_head]
+
+        outs = []
+        for i in range(v_views):
+            head_outs = []
+            for h in range(self.heads):
+                qi = head(qs[i], h)
+                logits = [
+                    jnp.sum(qi * head(ks[j], h), axis=-1) * scale
+                    for j in range(v_views)
+                ]  # V x (N,)
+                m = logits[0]
+                for l in logits[1:]:
+                    m = jnp.maximum(m, l)
+                exps = [jnp.exp(l - m) for l in logits]
+                denom = sum(exps)
+                mix = sum(
+                    (e / denom)[:, None] * head(vs[j], h)
+                    for j, e in enumerate(exps)
+                )  # (N, dh)
+                head_outs.append(mix)
+            outs.append(jnp.concatenate(head_outs, axis=-1))  # (N, inner)
+        out = jnp.stack(outs, axis=0)  # (V, N, inner)
         if not (self.heads == 1 and self.dim_head == self.dim):
             out = TorchLinear(self.dim, name="to_out")(out)
         return out
@@ -58,7 +87,8 @@ class _FeedForward(nn.Module):
 class ViewFusionTransformer(nn.Module):
     """PreNorm + residual transformer over the view axis.
 
-    Input/output: (N, V, dim) — N query points, V views.
+    Input/output: (V, N, dim) — V views (the "sequence"), N query points
+    (the batch).  View-major layout keeps the huge N axis contiguous.
     """
 
     dim: int = 128

@@ -65,38 +65,48 @@ def nearest_vertex_xla(
     return d2.reshape(-1)[:n], ids.reshape(-1)[:n].astype(jnp.int32)
 
 
-def _nn_kernel(q_ref, v_ref, v2_ref, d2_ref, id_ref):
+# global vertex ids fit in the low 13 bits (8192 > padded 6912); packing
+# them into the distance's low mantissa bits turns min+argmin+select into
+# ONE min-reduction.  Costs 13 mantissa bits of tie-breaking precision
+# (relative 2^-10) — only near-exact ties can flip, same class of fp
+# nondeterminism the matmul formulation already has.
+_ID_BITS = 13
+
+
+def _nn_kernel(q_ref, v_ref, id_ref):
     """One grid step: QUERY_BLOCK queries vs. all vertex tiles.
 
     q_ref: (B, 3) queries; v_ref: (T, VT, 3) padded vertex tiles;
-    v2_ref: (T, VT) squared norms; outputs (B,) min-dist2 and argmin id.
+    output: (B,) argmin vertex ids (the exact distance is recomputed from
+    the id outside the kernel).
     """
     q = q_ref[:]  # (B, 3)
-    q2 = jnp.sum(q * q, axis=-1, keepdims=True)  # (B, 1)
     n_tiles = v_ref.shape[0]
     vt = v_ref.shape[1]
+    low_mask = (1 << _ID_BITS) - 1
 
-    def tile_step(t, carry):
-        best_d2, best_id = carry
+    def tile_step(t, best_key):
         v = v_ref[t]  # (VT, 3)
-        # d2 tile: (B, VT) — the -2*q@v.T contraction runs on the MXU
-        d2 = q2 - 2.0 * jax.lax.dot_general(
-            q, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) + v2_ref[t][None, :]
-        tile_arg = jnp.argmin(d2, axis=-1)  # (B,)
-        tile_min = jnp.min(d2, axis=-1)
-        take = tile_min < best_d2
-        best_id = jnp.where(take, tile_arg.astype(jnp.int32) + t * vt, best_id)
-        best_d2 = jnp.where(take, tile_min, best_d2)
-        return best_d2, best_id
+        # d2 tile: (B, VT) via per-dim diff-squares on the VPU.  NOT the
+        # |q|^2 - 2 q.v + |v|^2 matmul: Mosaic lowers the K=3 MXU dot in
+        # single-pass bf16 (~1e-2 abs error — observed), and the matmul
+        # form also matches pytorch3d's diff formulation less exactly.
+        d2 = jnp.zeros((q.shape[0], vt), jnp.float32)
+        for d in range(3):
+            diff = q[:, d : d + 1] - v[:, d][None, :]
+            d2 = d2 + diff * diff
+        # d2 >= 0 exactly in this form -> IEEE bits are order-preserving;
+        # replace the low mantissa bits with the vertex id and min-reduce
+        # the packed key in one pass
+        ids = jax.lax.broadcasted_iota(jnp.int32, (1, vt), 1) + t * vt
+        bits = pltpu.bitcast(d2, jnp.int32)
+        key = jnp.min((bits & ~low_mask) | ids, axis=-1)
+        return jnp.minimum(best_key, key)
 
-    init = (
-        jnp.full((q.shape[0],), jnp.inf, jnp.float32),
-        jnp.zeros((q.shape[0],), jnp.int32),
+    best = jax.lax.fori_loop(
+        0, n_tiles, tile_step, jnp.full((q.shape[0],), 0x7FFFFFFF, jnp.int32)
     )
-    best_d2, best_id = jax.lax.fori_loop(0, n_tiles, tile_step, init)
-    d2_ref[:, :] = best_d2.reshape(d2_ref.shape)
-    id_ref[:, :] = best_id.reshape(id_ref.shape)
+    id_ref[:, :] = (best & low_mask).reshape(id_ref.shape)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -110,28 +120,26 @@ def nearest_vertex_pallas(query: jnp.ndarray, verts: jnp.ndarray, interpret=Fals
     # pad with a far-away sentinel so padding never wins the argmin
     v = _pad_to(verts.astype(jnp.float32), nv, 1e8)
     v_tiles = v.reshape(-1, _VERT_TILE, 3)
-    v2_tiles = jnp.sum(v_tiles * v_tiles, axis=-1)  # (T, VT)
 
     grid = nb // _QUERY_BLOCK
-    d2, ids = pl.pallas_call(
+    ids = pl.pallas_call(
         _nn_kernel,
         grid=(grid,),
         in_specs=[
             pl.BlockSpec((_QUERY_BLOCK, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(v_tiles.shape, lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(v2_tiles.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=[
-            pl.BlockSpec((8, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((grid * 8, 128), jnp.float32),
-            jax.ShapeDtypeStruct((grid * 8, 128), jnp.int32),
-        ],
+        out_specs=pl.BlockSpec((8, 128), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((grid * 8, 128), jnp.int32),
         interpret=interpret,
-    )(q, v_tiles, v2_tiles)
-    return d2.reshape(-1)[:n], ids.reshape(-1)[:n]
+    )(q, v_tiles)
+    ids = ids.reshape(-1)[:n]
+    # the packed key truncates d2's low mantissa bits — recompute the exact
+    # distance from the winning id (O(N) gather vs O(N*V) matrix)
+    diff = query.astype(jnp.float32) - v.reshape(-1, 3)[ids]
+    d2_exact = jnp.sum(diff * diff, axis=-1)
+    return d2_exact, ids
 
 
 def nearest_vertex(query: jnp.ndarray, verts: jnp.ndarray):

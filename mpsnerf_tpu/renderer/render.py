@@ -98,6 +98,51 @@ def render_rays(
     )
 
 
+def render_rays_mapped(
+    model: MPSNeRF,
+    variables: Any,
+    smpl: SMPLModel,
+    sp_input: Dict[str, Any],
+    tp_input: Dict[str, Any],
+    latent: jnp.ndarray,
+    rays_o: jnp.ndarray,   # (N, 3) — N must be a multiple of chunk
+    rays_d: jnp.ndarray,
+    near: jnp.ndarray,
+    far: jnp.ndarray,
+    key: jax.Array,
+    chunk: int,
+    n_samples: int,
+    **kwargs,
+):
+    """Render many rays with an ON-DEVICE ``lax.map`` over fixed-size
+    chunks — one dispatch for a whole image instead of one per chunk
+    (the reference's host-side ``batchify_rays`` loop, and our own
+    ``render_image``, pay a host round-trip per chunk; over a remote
+    tunnel that dominates).  Returns (rgb (N, 3), disp (N,), acc (N,))."""
+    n = rays_o.shape[0]
+    assert n % chunk == 0, (n, chunk)
+    c = n // chunk
+
+    def one(args):
+        ro, rd, nr, fr = args
+        out = render_rays(
+            model, variables, smpl, sp_input, tp_input, latent,
+            ro, rd, nr, fr, key, n_samples, **kwargs,
+        )
+        return out.rgb_map, out.disp_map, out.acc_map
+
+    rgb, disp, acc = jax.lax.map(
+        one,
+        (
+            rays_o.reshape(c, chunk, 3),
+            rays_d.reshape(c, chunk, 3),
+            near.reshape(c, chunk),
+            far.reshape(c, chunk),
+        ),
+    )
+    return rgb.reshape(n, 3), disp.reshape(n), acc.reshape(n)
+
+
 def render_image(
     render_chunk_fn,
     rays_o: np.ndarray,

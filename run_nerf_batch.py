@@ -127,6 +127,10 @@ def main(argv=None):
             return eval_runner.run_thuman_eval(
                 args, model, vv, smpl_selector, savedir
             )
+        if args.data_set_type in ("H36M_B", "H36M", "H36M_P"):
+            return eval_runner.run_h36m_eval(
+                args, model, vv, smpl_selector, savedir
+            )
         raise NotImplementedError(
             f"eval protocol for {args.data_set_type} not wired yet"
         )

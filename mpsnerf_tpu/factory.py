@@ -15,7 +15,10 @@ from mpsnerf_tpu.models.mps_nerf import MPSNeRF
 # model string -> behavior deltas relative to the flagship (the reference's
 # variants share the SKinningBatch pipeline with different deform stages;
 # see lib/skinnning_batch.py:517 (DirectDeform), :883 (CorrectionBatch),
-# :1292 (CoarseBatch), :1637 (CorrectionBatchBlend))
+# :1292 (CoarseBatch), :1637 (CorrectionBatchBlend)).  The numpy-era
+# ``correction_by_f3d`` family (lib/correction.py:53-751) is subsumed by
+# the batch pipeline with the correction field enabled — the per-sample
+# implementation exists in the reference only as a legacy path.
 _MODEL_VARIANTS = {
     "skinning_batch": {},
     # CoarseBatch: pure LBS warp, no correction/skinning fields
@@ -26,6 +29,9 @@ _MODEL_VARIANTS = {
     "direct_deform": {},
     # CorrectionBatchBlend: blend sampled image rgb via predicted weights
     "correction_batch_blend": {"blend_rgb": True},
+    # numpy-era correction models -> correction-field pipeline
+    "correction_by_f3d": {"correction_field": True},
+    "correction_by_f3d_fagg": {"correction_field": True},
 }
 
 
@@ -33,15 +39,10 @@ def return_model(args: Any) -> MPSNeRF:
     name = args.model
     if name not in _MODEL_VARIANTS:
         raise NotImplementedError(
-            f"model '{name}' (reference: correction_by_f3d family, "
-            "lib/correction.py) is not yet ported to the TPU framework"
+            f"model '{name}' is not available "
+            "(reference: model_selection.py:8-85)"
         )
     extra = dict(_MODEL_VARIANTS[name])
-    blend_rgb = extra.pop("blend_rgb", False)
-    if blend_rgb:
-        raise NotImplementedError(
-            "correction_batch_blend (blend-RGB head) is scheduled"
-        )
     kwargs = dict(
         num_instances=args.num_instance,
         use_transformer=bool(args.use_trans),
@@ -52,6 +53,7 @@ def return_model(args: Any) -> MPSNeRF:
         correction_field=bool(args.correction_field),
         skinning_field=bool(args.skinning_field),
         pair_mode=args.data_set_type in ("H36M_P", "THuman_P"),
+        n_input_views=args.view_num,
         compact_fraction=(
             args.compact_fraction
             if getattr(args, "compact_fraction", None) not in (None, 0)

@@ -112,6 +112,12 @@ class MPSNeRF(nn.Module):
     # 2D feature is sampled at the coarse source-warped points instead of
     # the raw query points (ref skinnning_batch.py:378-382)
     pair_mode: bool = False
+    # CorrectionBatchBlend head (ref skinnning_batch.py:1993-1999): the
+    # rgb head predicts per-view softmax weights that blend the sampled
+    # image rgb instead of regressing color.  NOTE: the blended value is
+    # fed through the compositing sigmoid exactly like the reference.
+    blend_rgb: bool = False
+    n_input_views: int = 3  # sizes the blend head
     # static capacity for masked-point compaction as a fraction of the
     # query count; None disables (full masked compute, exact reference
     # semantics even at capacity overflow)
@@ -145,7 +151,9 @@ class MPSNeRF(nn.Module):
         self.alpha_linear = TorchLinear(1, name="alpha_linear")
         self.feature_linear = TorchLinear(self.nerf_width, name="feature_linear")
         self.views_linear = TorchLinear(self.nerf_width // 2, name="views_linear")
-        self.rgb_linear = TorchLinear(3, name="rgb_linear")
+        self.rgb_linear = TorchLinear(
+            self.n_input_views if self.blend_rgb else 3, name="rgb_linear"
+        )
 
     # ------------------------------------------------------------------
     # stage 1: per-step image encoding (NOT per chunk)
@@ -159,7 +167,7 @@ class MPSNeRF(nn.Module):
     # stage 2: per-point query
     # ------------------------------------------------------------------
 
-    def _nerf_mlp(self, can_pts, f1, f2, viewdirs):
+    def _nerf_mlp(self, can_pts, f1, f2, viewdirs, rgb_samples=None):
         x = jnp.concatenate([positional_encoding(can_pts, 6), f1], axis=-1)
         h = x
         for i, layer in enumerate(self.pts_linears):
@@ -174,7 +182,12 @@ class MPSNeRF(nn.Module):
         else:
             h = jnp.concatenate([feature, f2], axis=-1)
         h = nn.relu(self.views_linear(h))
-        rgb = self.rgb_linear(h)
+        if self.blend_rgb:
+            # per-view blend weights over the sampled image rgb
+            w = nn.softmax(self.rgb_linear(h), axis=-1)  # (N, V)
+            rgb = jnp.einsum("nv,vnc->nc", w, rgb_samples)
+        else:
+            rgb = self.rgb_linear(h)
         return rgb, alpha
 
     def _view_features(self, sp_input, latent, world_src_pts, fuse=True):
@@ -188,20 +201,24 @@ class MPSNeRF(nn.Module):
         h_img, w_img = img_all.shape[-2], img_all.shape[-1]
         image_size = (float(w_img), float(h_img))
 
-        cam = (
-            jnp.einsum("vij,nj->vni", R_all, world_src_pts)
-            + T_all.transpose(0, 2, 1)
-        )
-        pix = jnp.einsum("vij,vnj->vni", K_all, cam)
-        uv = pix[..., :2] / (pix[..., 2:] + 1e-5)  # (V, N, 2)
+        with jax.named_scope("projection"):
+            cam = (
+                jnp.einsum("vij,nj->vni", R_all, world_src_pts)
+                + T_all.transpose(0, 2, 1)
+            )
+            pix = jnp.einsum("vij,vnj->vni", K_all, cam)
+            uv = pix[..., :2] / (pix[..., 2:] + 1e-5)  # (V, N, 2)
 
-        feats = index_features(latent, uv, image_size)  # (V, C, N)
-        feats = feats.transpose(0, 2, 1)  # (V, N, C)
+        with jax.named_scope("encoder_index"):
+            feats = index_features(latent, uv, image_size)  # (V, C, N)
+            feats = feats.transpose(0, 2, 1)  # (V, N, C)
 
-        if self.append_rgb:
+        rgb_s = None
+        if self.append_rgb or self.blend_rgb:
             size = jnp.asarray(image_size, uv.dtype)
             coords = 2.0 * uv / size - 1.0
             rgb_s = grid_sample_2d(img_all, coords).transpose(0, 2, 1)  # (V,N,3)
+        if self.append_rgb:
             rgb_pe = positional_encoding(rgb_s, 4)  # (V, N, 27)
             feats = jnp.concatenate([feats, rgb_pe], axis=-1)
 
@@ -214,7 +231,7 @@ class MPSNeRF(nn.Module):
             f2 = fused[1]
         else:
             f1 = f2 = jnp.mean(feats, axis=0)
-        return f1, f2
+        return f1, f2, rgb_s
 
     def query(
         self,
@@ -343,8 +360,8 @@ class MPSNeRF(nn.Module):
             smpl_src, world_src, bweights = deform_canonical_to_source(
                 smpl, tf_s, can_pts, vert_ids_c, weights_corr, self.mean_shape
             )
-            f1, f2 = self._view_features(sp_input, latent, world_src)
-            rgb, alpha = self._nerf_mlp(can_pts, f1, f2, q_vd)
+            f1, f2, rgb_s = self._view_features(sp_input, latent, world_src)
+            rgb, alpha = self._nerf_mlp(can_pts, f1, f2, q_vd, rgb_s)
             return alpha, (rgb, smpl_src, world_src, bweights, vert_ids_c)
 
         if compute_normals:

@@ -69,3 +69,41 @@ def make_sharded_train_step(model: MPSNeRF, cfg: TrainConfig, mesh: Mesh,
         check_vma=False,
     )
     return jax.jit(sharded)
+
+
+def make_sharded_render(model, mesh: Mesh, n_samples: int, chunk: int = 0,
+                        white_bkgd: bool = False):
+    """Pod-scale inference: rays shard over the mesh, each device renders
+    its slice with zero cross-chip traffic (the "sequence parallelism" of
+    this workload — SURVEY §5); only the final image gather crosses ICI.
+
+    Returns a jitted ``fn(variables, smpl, sp, tp, latent, ro, rd, nr,
+    fr, key) -> (rgb, disp, acc)`` with ray args sharded on ``ray``.
+    ``chunk`` > 0 additionally lax.maps over per-device sub-chunks.
+    """
+    from mpsnerf_tpu.renderer.render import render_rays, render_rays_mapped
+
+    def local_render(variables, smpl, sp, tp, latent, ro, rd, nr, fr, key):
+        if chunk and ro.shape[0] > chunk:
+            return render_rays_mapped(
+                model, variables, smpl, sp, tp, latent, ro, rd, nr, fr,
+                key, chunk=chunk, n_samples=n_samples, perturb=0.0,
+                train=False, white_bkgd=white_bkgd,
+            )
+        out = render_rays(
+            model, variables, smpl, sp, tp, latent, ro, rd, nr, fr, key,
+            n_samples=n_samples, perturb=0.0, train=False,
+            white_bkgd=white_bkgd,
+        )
+        return out.rgb_map, out.disp_map, out.acc_map
+
+    rep = P()
+    ray = P(RAY_AXIS)
+    sharded = jax.shard_map(
+        local_render,
+        mesh=mesh,
+        in_specs=(rep, rep, rep, rep, rep, ray, ray, ray, ray, rep),
+        out_specs=(ray, ray, ray),
+        check_vma=False,
+    )
+    return jax.jit(sharded)

@@ -144,6 +144,9 @@ def main(argv=None):
         return
 
     # --- training loop
+    from mpsnerf_tpu.utils.profiling import trace_scope
+
+    profile_dir = os.environ.get("MPSNERF_PROFILE_DIR")
     n_iters = args.N_iteration + 1
     running = []
     last_print = last_ckpt = last_eval = trainer.global_step
@@ -164,7 +167,10 @@ def main(argv=None):
         tp = sp if not pair_mode else to_device_input(tp_item)
 
         key, sub = jax.random.split(key)
-        logs = trainer.train_item(smpl, sp, tp, sub)
+        # profile the second item (post-compile) when requested
+        do_trace = profile_dir and len(running) == 1
+        with trace_scope(profile_dir if do_trace else None):
+            logs = trainer.train_item(smpl, sp, tp, sub)
         running.append(logs)
         gs = trainer.global_step
 

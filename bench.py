@@ -59,7 +59,9 @@ def main():
     near_all[hit] = near
     far_all[hit] = far
 
-    model = MPSNeRF(num_instances=1, compact_fraction=0.25)
+    # eval-scale compaction: ~6% of in-box samples lie within 5 cm of the
+    # body at 512x512 (measured), so a 12.5% tail capacity never overflows
+    model = MPSNeRF(num_instances=1, compact_fraction=0.125)
     variables = jax.jit(model.init, static_argnames=("train",))(
         {"params": jax.random.PRNGKey(0)}, smpl, inp, inp,
         jnp.zeros((8, 3)), jnp.zeros((8, 3)), train=False,

@@ -276,6 +276,20 @@ class THumanDatasetBatch:
         return ret
 
 
+class THumanDatasetBatchRandom(THumanDatasetBatch):
+    """Variant with the alternate 4-view subset [0, 4, 12, 16]
+    (ref THuman_dataset.py:853-871); otherwise identical item schema."""
+
+    def __init__(self, *args, view_num: int = 24, **kwargs):
+        super().__init__(*args, view_num=view_num, **kwargs)
+        if view_num == 4:
+            self.input_view = [0, 4, 12, 16]
+        self.train_view = list(range(24))
+        self.output_view = (
+            self.train_view if self.split == "train" else self.test_view
+        )
+
+
 class THumanDatasetPair(THumanDatasetBatch):
     """Pair items {'sp_input', 'tp_input'} for pose-pair training.
 

@@ -36,7 +36,7 @@ import numpy as np
 import flax.linen as nn
 
 from mpsnerf_tpu.models.layers import TorchLinear
-from mpsnerf_tpu.ops.compact import plan_compaction, compact, expand
+from mpsnerf_tpu.ops.compact import plan_compaction, compact, expand, compose
 from mpsnerf_tpu.models.resnet import SpatialEncoder
 from mpsnerf_tpu.models.transformer import ViewFusionTransformer
 from mpsnerf_tpu.models.deform import DeformField
@@ -121,7 +121,13 @@ class MPSNeRF(nn.Module):
     # static capacity for masked-point compaction as a fraction of the
     # query count; None disables (full masked compute, exact reference
     # semantics even at capacity overflow)
-    compact_fraction: Optional[float] = 0.5
+    compact_fraction: Optional[float] = 0.25
+    # two-phase nearest-vertex cull: a cheap 1-NN against a vertex
+    # subsample conservatively discards far points (triangle inequality —
+    # exact) before the full-table 1-NN runs on this fraction of points.
+    # Off by default: at 6890 vertices the compaction-plan overhead eats
+    # the saved 1-NN work (measured); worthwhile for denser vertex sets.
+    cull_fraction: Optional[float] = None
 
     def setup(self):
         self.encoder_2d = SpatialEncoder(
@@ -256,29 +262,64 @@ class MPSNeRF(nn.Module):
 
         if not geometry_only:
             smpl_query_pts = world_to_smpl(world_pts, tf_t.R, tf_t.Th)
-
-            # human-region mask + nearest posed vertex (ONE knn call — the
-            # reference issued separate calls for the mask and the warp)
             tar_smpl_pts = world_to_smpl(tp_input["vertices"], tf_t.R, tf_t.Th)
-            d2, vert_ids_t = nearest_vertex(
-                jax.lax.stop_gradient(smpl_query_pts), tar_smpl_pts
-            )
-            if self.human_sample:
-                pts_mask = (d2 < HUMAN_DIST_THRESHOLD_SQ).astype(jnp.int32)
-            else:
-                pts_mask = jnp.ones((n,), jnp.int32)
+            q_stop = jax.lax.stop_gradient(smpl_query_pts)
 
-            q_pts, q_ids, q_vd = smpl_query_pts, vert_ids_t, viewdirs
-            if self.compact_fraction is not None and self.human_sample:
-                # static-capacity compaction: the expensive tail only runs
-                # on (mostly) in-body points.  Capacity overflow drops
-                # points -> rendered as empty; capacity 1.0 never drops.
-                cap = int(np.ceil(n * self.compact_fraction / 1024)) * 1024
-                cap = max(1024, min(cap, n))
-                cplan = plan_compaction(pts_mask, cap)
+            def cap_of(frac):
+                c = int(np.ceil(n * frac / 1024)) * 1024
+                return max(1024, min(c, n))
+
+            use_compact = self.compact_fraction is not None and self.human_sample
+
+            if use_compact and self.cull_fraction is not None:
+                # phase 1: cheap conservative cull.  1-NN against a vertex
+                # subsample; by the triangle inequality a point farther
+                # than (5 cm + delta) from the subsample is certainly
+                # farther than 5 cm from the full set, where delta is the
+                # subsample's covering radius (computed exactly).
+                sub = tar_smpl_pts[::4]
+                d2v, _ = nearest_vertex(tar_smpl_pts, sub)
+                delta = jnp.sqrt(jnp.max(d2v))
+                d2c, _ = nearest_vertex(q_stop, sub)
+                thresh = (HUMAN_DIST_THRESHOLD_SQ ** 0.5 + delta) ** 2
+                cand = (d2c < thresh).astype(jnp.int32)
+                plan1 = plan_compaction(cand, cap_of(self.cull_fraction))
+
+                # phase 2: exact 1-NN on the candidates only
+                d2, ids_c = nearest_vertex(
+                    compact(plan1, q_stop), tar_smpl_pts
+                )
+                k1 = d2.shape[0]
+                in_domain = (
+                    jax.lax.broadcasted_iota(jnp.int32, (k1, 1), 0)[:, 0]
+                    < plan1.n_valid
+                )
+                fine = (
+                    (d2 < HUMAN_DIST_THRESHOLD_SQ) & in_domain
+                ).astype(jnp.int32)
+                plan2 = plan_compaction(fine, cap_of(self.compact_fraction))
+                cplan = compose(plan1, plan2)
+                q_ids = compact(plan2, ids_c)
                 q_pts = compact(cplan, smpl_query_pts)
-                q_ids = compact(cplan, vert_ids_t)
                 q_vd = compact(cplan, viewdirs)
+                pts_mask = cplan.take.astype(jnp.int32)
+            else:
+                # single-phase: exact 1-NN on every point (ONE knn call —
+                # the reference issued separate calls for the mask and the
+                # warp, skinnning_batch.py:214,357)
+                d2, vert_ids_t = nearest_vertex(q_stop, tar_smpl_pts)
+                if self.human_sample:
+                    pts_mask = (d2 < HUMAN_DIST_THRESHOLD_SQ).astype(jnp.int32)
+                else:
+                    pts_mask = jnp.ones((n,), jnp.int32)
+                q_pts, q_ids, q_vd = smpl_query_pts, vert_ids_t, viewdirs
+                if use_compact:
+                    cplan = plan_compaction(
+                        pts_mask, cap_of(self.compact_fraction)
+                    )
+                    q_pts = compact(cplan, smpl_query_pts)
+                    q_ids = compact(cplan, vert_ids_t)
+                    q_vd = compact(cplan, viewdirs)
 
             coarse_can = deform_target_to_canonical(
                 smpl, tf_t, q_pts, q_ids, self.mean_shape

@@ -151,6 +151,45 @@ class SpatialEncoder(nn.Module):
         return jnp.transpose(latent, (0, 3, 1, 2))  # NHWC -> NCHW
 
 
+class GlobalImageEncoder(nn.Module):
+    """Global (non-pixel-aligned) image encoder — ``ImageEncoder``
+    equivalent (ref lib/encoder.py:309-364): full ResNet trunk, global
+    average pool, optional projection to 512."""
+
+    backbone: str = "resnet34"
+    latent_size: int = 512
+    bn_axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, images: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        x = jnp.transpose(images, (0, 2, 3, 1))
+
+        def bn(name):
+            return nn.BatchNorm(
+                use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                axis_name=self.bn_axis_name if train else None, name=name,
+            )
+
+        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=3, use_bias=False,
+                    name="conv1")(x)
+        x = nn.relu(bn("bn1")(x))
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+        blocks = _STAGE_BLOCKS[self.backbone]
+        for stage in range(1, 5):
+            stride = 1 if stage == 1 else 2
+            for b in range(blocks[stage - 1]):
+                x = BasicBlock(
+                    _STAGE_CHANNELS[stage - 1],
+                    stride=stride if b == 0 else 1,
+                    bn_axis_name=self.bn_axis_name,
+                    name=f"layer{stage}_block{b}",
+                )(x, train)
+        x = jnp.mean(x, axis=(1, 2))  # global average pool
+        if self.latent_size != 512:
+            x = nn.Dense(512, name="fc")(x)
+        return x
+
+
 def load_torchvision_state_dict(variables: Any, state_dict: dict, num_layers: int = 2):
     """Map a torchvision resnet34 ``state_dict`` (numpy arrays) onto this
     module's variables.  Conv kernels transpose OIHW -> HWIO.

@@ -32,6 +32,23 @@ from mpsnerf_tpu.train.trainer import TrainConfig, make_train_step
 RAY_AXIS = "ray"
 
 
+def initialize_distributed(coordinator: Optional[str] = None,
+                           num_processes: Optional[int] = None,
+                           process_id: Optional[int] = None) -> None:
+    """Multi-host bootstrap — the ``dist.init_process_group('nccl')``
+    equivalent (ref run_nerf_batch.py:26-28).  After this, ``jax.devices()``
+    spans all hosts and the same mesh/shard_map code scales across them;
+    per-host data sharding keys off ``jax.process_index()``."""
+    kwargs = {}
+    if coordinator is not None:
+        kwargs = dict(
+            coordinator_address=coordinator,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    jax.distributed.initialize(**kwargs)
+
+
 def make_mesh(devices: Optional[Sequence] = None, axis: str = RAY_AXIS) -> Mesh:
     devices = devices if devices is not None else jax.devices()
     return Mesh(np.asarray(devices), (axis,))

@@ -295,6 +295,79 @@ def sample_rays_h36m_batch(
     )
 
 
+def sample_rays_ohem(
+    img: np.ndarray,
+    loss_img: np.ndarray,
+    msk: np.ndarray,
+    K: np.ndarray,
+    R: np.ndarray,
+    T: np.ndarray,
+    bounds: np.ndarray,
+    n_rays: int,
+    split: str,
+    rng: Optional[np.random.Generator] = None,
+) -> RayBatch:
+    """Online-hard-example-mining sampler (ref if_nerf_data_utils.py:914):
+    80% of rays drawn from the in-box pixels proportionally to a per-pixel
+    loss image, 20% uniform in-box."""
+    if rng is None:
+        rng = np.random.default_rng()
+    H, W = img.shape[:2]
+    ray_o, ray_d = get_rays(H, W, K, R, T)
+    pose = np.concatenate([R, T.reshape(3, 1)], axis=1)
+    bound_mask = get_bound_2d_mask(bounds, K, pose, H, W)
+
+    if split != "train":
+        return _full_image_rays(img.copy(), msk, ray_o, ray_d, bounds)
+
+    lists = {k: [] for k in RayBatch._fields}
+    n_sampled = 0
+    coord_all = np.argwhere(bound_mask == 1)
+    loss = loss_img[coord_all[:, 0], coord_all[:, 1]].astype(np.float64)
+    loss = loss / max(loss.sum(), 1e-12)
+
+    while n_sampled < n_rays:
+        n_rand = n_rays - n_sampled
+        n_hard = int(n_rand * 0.8)
+        idx_hard = rng.choice(
+            len(coord_all), size=min(n_hard, len(coord_all)),
+            replace=False, p=loss,
+        )
+        idx_unif = rng.integers(0, len(coord_all), n_rand - len(idx_hard))
+        coord = coord_all[np.concatenate([idx_hard, idx_unif])]
+
+        o = ray_o[coord[:, 0], coord[:, 1]]
+        d = ray_d[coord[:, 0], coord[:, 1]]
+        rgb = img[coord[:, 0], coord[:, 1]]
+        near, far, hit = get_near_far(bounds, o, d)
+
+        lists["ray_o"].append(o[hit])
+        lists["ray_d"].append(d[hit])
+        lists["rgb"].append(rgb[hit])
+        lists["near"].append(near)
+        lists["far"].append(far)
+        lists["coord"].append(coord[hit])
+        lists["bkgd_msk"].append(
+            (msk[coord[:, 0], coord[:, 1]] != 0)[hit][:, None].astype(
+                np.float32
+            )
+        )
+        lists["mask_at_box"].append(hit[hit])
+        n_sampled += len(near)
+
+    out = {k: np.concatenate(v)[:n_rays] for k, v in lists.items()}
+    return RayBatch(
+        rgb=out["rgb"].astype(np.float32),
+        ray_o=out["ray_o"].astype(np.float32),
+        ray_d=out["ray_d"].astype(np.float32),
+        near=out["near"].astype(np.float32),
+        far=out["far"].astype(np.float32),
+        coord=out["coord"].astype(np.int64),
+        mask_at_box=out["mask_at_box"],
+        bkgd_msk=out["bkgd_msk"].astype(np.float32),
+    )
+
+
 def _full_image_rays(img, msk, ray_o, ray_d, bounds) -> RayBatch:
     rgb = img.reshape(-1, 3).astype(np.float32)
     o = ray_o.reshape(-1, 3).astype(np.float32)

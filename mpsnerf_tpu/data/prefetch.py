@@ -1,0 +1,84 @@
+"""Background-thread item prefetching — the DataLoader-workers equivalent.
+
+The reference overlaps host-side data prep (image IO, undistortion, ray
+sampling) with GPU compute via ``DataLoader(num_workers=16)``
+(run_nerf_batch.py:455).  Here a small thread pool keeps a queue of ready
+items ahead of the jitted train step; index order comes from a seeded
+sampler so runs stay reproducible.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Callable, Iterator, Optional
+
+import numpy as np
+
+
+class PrefetchLoader:
+    """Iterates ``dataset[i]`` for sampled indices with lookahead.
+
+    Args:
+      dataset: anything with ``__len__`` and ``__getitem__``.
+      sampler: callable rng -> index; defaults to uniform.
+      num_workers: producer threads (0 = synchronous passthrough).
+      prefetch: queue depth.
+    """
+
+    def __init__(
+        self,
+        dataset,
+        seed: int = 0,
+        num_workers: int = 2,
+        prefetch: int = 4,
+        sampler: Optional[Callable] = None,
+    ):
+        self.dataset = dataset
+        self.rng = np.random.default_rng(seed)
+        self.num_workers = num_workers
+        self.prefetch = prefetch
+        self.sampler = sampler or (
+            lambda rng: int(rng.integers(len(dataset)))
+        )
+        self._queue: "queue.Queue" = queue.Queue(maxsize=max(1, prefetch))
+        self._stop = threading.Event()
+        self._index_lock = threading.Lock()
+        self._threads = []
+        if num_workers > 0:
+            for _ in range(num_workers):
+                t = threading.Thread(target=self._worker, daemon=True)
+                t.start()
+                self._threads.append(t)
+
+    def _next_index(self) -> int:
+        with self._index_lock:
+            return self.sampler(self.rng)
+
+    def _worker(self) -> None:
+        while not self._stop.is_set():
+            idx = self._next_index()
+            try:
+                item = self.dataset[idx]
+            except Exception as e:  # surface errors on the consumer side
+                item = e
+            while not self._stop.is_set():
+                try:
+                    self._queue.put(item, timeout=0.5)
+                    break
+                except queue.Full:
+                    continue
+
+    def __iter__(self) -> Iterator:
+        return self
+
+    def __next__(self):
+        if self.num_workers == 0:
+            return self.dataset[self._next_index()]
+        item = self._queue.get()
+        if isinstance(item, Exception):
+            raise item
+        return item
+
+    def close(self) -> None:
+        self._stop.set()

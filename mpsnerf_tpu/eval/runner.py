@@ -242,6 +242,88 @@ def run_h36m_eval(
     )
 
 
+def run_legacy_test(
+    args, model, variables, smpl_selector, savedir: str, items,
+    view_interval: int = 12, H: int = 512, W: int = 512,
+    data_interval: int = 1, start_pose: int = 0,
+) -> float:
+    """The reference's inline ``test`` (run_nerf_batch.py:138-298):
+    renders every ``view_interval``-th view of each item with the first
+    item as the source, writes pred|gt side-by-side PNGs with an
+    input-view strip, per-frame pred/gt PNGs, ``psnr_<x100>.npy`` and the
+    novel-pose / novel-view sweep videos.  Returns the average PSNR."""
+    import os
+
+    import cv2
+
+    from mpsnerf_tpu.eval.metrics import psnr_metric
+    from mpsnerf_tpu.eval.video import write_sweep_videos
+
+    os.makedirs(savedir, exist_ok=True)
+    renderer = ViewRenderer(
+        model, smpl_selector, chunk=args.chunk, n_samples=args.N_samples,
+        white_bkgd=args.white_bkgd,
+    )
+    to8b = lambda x: (255 * np.clip(x, 0, 1)).astype(np.uint8)
+
+    total_psnr, num = 0.0, 0
+    sp_item = items[0]
+    for item in items:
+        views = range(0, item["rgb_all"].shape[0], view_interval)
+        for k in views:
+            rgb = renderer.render_view(variables, sp_item, item, k)
+            pred = rgb.reshape(H, W, 3)
+            gt = np.asarray(item["rgb_all"][k]).reshape(H, W, 3)
+            mask = np.asarray(item["mask_at_box_all"][k]).reshape(H, W) > 0
+
+            psnr = psnr_metric(pred[mask], gt[mask])
+            total_psnr += psnr
+            num += 1
+            print(
+                "[Test] Source:", int(sp_item["pose_index"]),
+                " Target:", int(item["pose_index"]), " View:", k,
+                " PSNR: ", {round(psnr, 3)},
+            )
+
+            side = np.concatenate([to8b(pred), to8b(gt)], axis=1)
+            strip = np.concatenate(
+                [
+                    np.transpose(v, (1, 2, 0))
+                    for v in np.asarray(sp_item["img_all"])
+                ],
+                axis=1,
+            )
+            strip = cv2.resize(
+                to8b(strip),
+                (side.shape[1], int(strip.shape[0] * side.shape[1]
+                                    / strip.shape[1])),
+            )
+            combo = np.concatenate([strip, side], axis=0)
+            name = (
+                f"{int(sp_item['pose_index']):02d}_"
+                f"{int(item['pose_index']):02d}_{k:02d}.png"
+            )
+            cv2.imwrite(os.path.join(savedir, name), combo[..., ::-1])
+            frame = int(item["pose_index"]) * data_interval + start_pose
+            cv2.imwrite(
+                os.path.join(savedir, f"frame{frame:04d}_view{k:04d}.png"),
+                to8b(pred)[..., ::-1],
+            )
+            cv2.imwrite(
+                os.path.join(savedir, f"frame{frame:04d}_view{k:04d}_gt.png"),
+                to8b(gt)[..., ::-1],
+            )
+
+    avg = total_psnr / max(num, 1)
+    np.save(os.path.join(savedir, f"psnr_{int(avg * 100)}.npy"), np.array(avg))
+    write_sweep_videos(
+        savedir,
+        novel_pose_suffix=f"_{view_interval:02d}.png",
+        novel_view_prefix="00_00_",
+    )
+    return avg
+
+
 def run_synthetic_eval(
     args, model, variables, smpl_selector, savedir: str, dataset,
     verbose: bool = True,

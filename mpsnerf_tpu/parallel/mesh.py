@@ -23,6 +23,7 @@ from functools import partial
 from typing import Optional, Sequence
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -30,6 +31,7 @@ from mpsnerf_tpu.models.mps_nerf import MPSNeRF
 from mpsnerf_tpu.train.trainer import TrainConfig, make_train_step
 
 RAY_AXIS = "ray"
+DATA_AXIS = "data"
 
 
 def initialize_distributed(coordinator: Optional[str] = None,
@@ -82,6 +84,88 @@ def make_sharded_train_step(model: MPSNeRF, cfg: TrainConfig, mesh: Mesh,
         step,
         mesh=mesh,
         in_specs=(rep, rep, rep, rep, ray, ray, ray, ray, ray, ray, rep),
+        out_specs=(rep, rep, rep),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
+def make_2d_mesh(data: int, ray: int,
+                 devices: Optional[Sequence] = None) -> Mesh:
+    """(data, ray) mesh: subjects batch over ``data`` (the DataParallel
+    axis — each device group gets whole items, ref run_nerf_batch.py:350),
+    rays shard over ``ray`` within each item."""
+    devices = devices if devices is not None else jax.devices()
+    assert len(devices) >= data * ray, (len(devices), data, ray)
+    arr = np.asarray(devices[: data * ray]).reshape(data, ray)
+    return Mesh(arr, (DATA_AXIS, RAY_AXIS))
+
+
+def make_batched_train_step(model, cfg, mesh: Mesh, smooth: bool = False):
+    """Item-batched view-step over a 2D (data, ray) mesh.
+
+    Inputs carry a leading item-batch dim (stacked smpl pytrees, sp/tp
+    dicts, per-item rays) sharded on ``data``; rays additionally shard on
+    ``ray``.  One gradient of the item-mean loss, pmean'd over both axes —
+    the DataParallel/DDP-over-NCCL replacement at full generality
+    (SURVEY §7 step 9: mesh (data, ray)).
+    """
+    import optax
+
+    from mpsnerf_tpu.train.trainer import make_loss_fn, make_optimizer
+    from mpsnerf_tpu.train.losses import mse2psnr
+
+    loss_one = make_loss_fn(model, cfg, smooth)
+    tx = make_optimizer(cfg)
+
+    def batched(state, smpl, sp, tp, ro, rd, nr, fr, tgt, bm, key):
+        def total_loss(params):
+            def item(args):
+                return loss_one(params, state.batch_stats, *args)
+
+            totals, (terms, new_bs, _) = jax.lax.map(
+                item, (smpl, sp, tp, ro, rd, nr, fr, tgt, bm, key)
+            )
+            aux = (
+                jax.tree.map(lambda x: jnp.mean(x, axis=0), terms),
+                jax.tree.map(lambda x: jnp.mean(x, axis=0), new_bs),
+            )
+            return jnp.mean(totals), aux
+
+        grads, (terms, new_bs) = jax.grad(total_loss, has_aux=True)(
+            state.params
+        )
+        grads = jax.lax.pmean(jax.lax.pmean(grads, DATA_AXIS), RAY_AXIS)
+        terms = jax.tree.map(
+            lambda x: jax.lax.pmean(
+                jax.lax.pmean(x, DATA_AXIS), RAY_AXIS
+            ),
+            terms,
+        )
+        new_bs = jax.tree.map(
+            lambda x: jax.lax.pmean(
+                jax.lax.pmean(x, DATA_AXIS), RAY_AXIS
+            ),
+            new_bs,
+        )
+
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        psnr = mse2psnr(jnp.maximum(terms.img, 1e-10))
+        new_state = state.replace(
+            step=state.step + 1, params=new_params,
+            batch_stats=new_bs, opt_state=new_opt,
+        )
+        return new_state, terms, psnr
+
+    rep = P()
+    data = P(DATA_AXIS)
+    data_ray = P(DATA_AXIS, RAY_AXIS)
+    sharded = jax.shard_map(
+        batched,
+        mesh=mesh,
+        in_specs=(rep, data, data, data, data_ray, data_ray, data_ray,
+                  data_ray, data_ray, data_ray, data),
         out_specs=(rep, rep, rep),
         check_vma=False,
     )

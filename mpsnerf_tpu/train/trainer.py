@@ -110,76 +110,15 @@ def make_train_step(
     ``pmean``-ed (the DDP/NCCL-allreduce equivalent over ICI).
     """
     tx = make_optimizer(cfg)
+    loss_builder = make_loss_fn(model, cfg, smooth)
 
     def step_fn(state: TrainState, smpl: SMPLModel, sp_input, tp_input,
                 rays_o, rays_d, near, far, target_rgb, bkgd_msk, key):
-        key_z, key_delta = jax.random.split(key)
-
         def loss_fn(params):
-            variables = {"params": params, "batch_stats": state.batch_stats}
-            latent, mutated = model.apply(
-                variables, sp_input["img_all"], train=True,
-                mutable=["batch_stats"], method=MPSNeRF.encode,
+            return loss_builder(
+                params, state.batch_stats, smpl, sp_input, tp_input,
+                rays_o, rays_d, near, far, target_rgb, bkgd_msk, key,
             )
-            # the 3D encoder (correction field) carries BatchNorm too —
-            # thread its running-stat updates through the query calls
-            bs = {"stats": mutated["batch_stats"]}
-
-            r = rays_o.shape[0]
-            z_vals = stratified_z_vals(
-                key_z, near[:, None], far[:, None], cfg.n_samples, cfg.perturb
-            )
-            pts = rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., None]
-            viewdirs = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
-            vd_flat = jnp.broadcast_to(
-                viewdirs[:, None, :], pts.shape
-            ).reshape(-1, 3)
-            pts_flat = pts.reshape(-1, 3)
-
-            def query(p):
-                out, mut = model.apply(
-                    {"params": params, "batch_stats": bs["stats"]},
-                    smpl, sp_input, tp_input, latent, p, vd_flat,
-                    train=True, compute_normals=smooth,
-                    method=MPSNeRF.query, mutable=["batch_stats"],
-                )
-                bs["stats"] = mut["batch_stats"]
-                return out
-
-            raw: RawOutput = query(pts_flat)
-            raw_perturbed = None
-            if smooth:
-                # ref run_nerf_batch.py:64-67: Normal(0, 0.01) world jitter
-                delta = 0.01 * jax.random.normal(
-                    key_delta, pts_flat.shape, pts_flat.dtype
-                )
-                raw_perturbed = query(pts_flat + delta)
-
-            out = composite_rays(
-                raw.rgb.reshape(r, cfg.n_samples, 3),
-                raw.sigma.reshape(r, cfg.n_samples),
-                z_vals,
-                rays_d,
-                occupancy=cfg.occupancy,
-                white_bkgd=cfg.white_bkgd,
-            )
-
-            pose_match = None
-            if cfg.pair_mode:
-                pose_match = (
-                    sp_input["pose_index"].reshape(())
-                    == tp_input["pose_index"].reshape(())
-                )
-            terms = compute_losses(
-                out.rgb_map, out.acc_map, target_rgb, bkgd_msk,
-                raw, raw_perturbed,
-                use_acc_loss=cfg.acc_loss,
-                use_correction_loss=cfg.correction_loss,
-                use_consistency_loss=cfg.consistency_loss,
-                use_density_loss=cfg.density_loss,
-                pose_match=pose_match,
-            )
-            return terms.total, (terms, bs["stats"], out.rgb_map)
 
         grads, (terms, new_bs, rgb_map) = jax.grad(
             loss_fn, has_aux=True
@@ -206,6 +145,85 @@ def make_train_step(
         return new_state, terms, psnr
 
     return step_fn
+
+
+def make_loss_fn(model: MPSNeRF, cfg: TrainConfig, smooth: bool):
+    """The view-step loss as a pure function — shared by the single-item
+    and item-batched (DataParallel) steps.
+
+    Signature: ``(params, batch_stats, smpl, sp, tp, rays_o, rays_d, near,
+    far, target_rgb, bkgd_msk, key) -> (total, (terms, new_bs, rgb_map))``.
+    """
+
+    def loss_fn(params, batch_stats, smpl, sp_input, tp_input,
+                rays_o, rays_d, near, far, target_rgb, bkgd_msk, key):
+        key_z, key_delta = jax.random.split(key)
+        variables = {"params": params, "batch_stats": batch_stats}
+        latent, mutated = model.apply(
+            variables, sp_input["img_all"], train=True,
+            mutable=["batch_stats"], method=MPSNeRF.encode,
+        )
+        # the 3D encoder (correction field) carries BatchNorm too —
+        # thread its running-stat updates through the query calls
+        bs = {"stats": mutated["batch_stats"]}
+
+        r = rays_o.shape[0]
+        z_vals = stratified_z_vals(
+            key_z, near[:, None], far[:, None], cfg.n_samples, cfg.perturb
+        )
+        pts = rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., None]
+        viewdirs = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+        vd_flat = jnp.broadcast_to(
+            viewdirs[:, None, :], pts.shape
+        ).reshape(-1, 3)
+        pts_flat = pts.reshape(-1, 3)
+
+        def query(p):
+            out, mut = model.apply(
+                {"params": params, "batch_stats": bs["stats"]},
+                smpl, sp_input, tp_input, latent, p, vd_flat,
+                train=True, compute_normals=smooth,
+                method=MPSNeRF.query, mutable=["batch_stats"],
+            )
+            bs["stats"] = mut["batch_stats"]
+            return out
+
+        raw: RawOutput = query(pts_flat)
+        raw_perturbed = None
+        if smooth:
+            # ref run_nerf_batch.py:64-67: Normal(0, 0.01) world jitter
+            delta = 0.01 * jax.random.normal(
+                key_delta, pts_flat.shape, pts_flat.dtype
+            )
+            raw_perturbed = query(pts_flat + delta)
+
+        out = composite_rays(
+            raw.rgb.reshape(r, cfg.n_samples, 3),
+            raw.sigma.reshape(r, cfg.n_samples),
+            z_vals,
+            rays_d,
+            occupancy=cfg.occupancy,
+            white_bkgd=cfg.white_bkgd,
+        )
+
+        pose_match = None
+        if cfg.pair_mode:
+            pose_match = (
+                sp_input["pose_index"].reshape(())
+                == tp_input["pose_index"].reshape(())
+            )
+        terms = compute_losses(
+            out.rgb_map, out.acc_map, target_rgb, bkgd_msk,
+            raw, raw_perturbed,
+            use_acc_loss=cfg.acc_loss,
+            use_correction_loss=cfg.correction_loss,
+            use_consistency_loss=cfg.consistency_loss,
+            use_density_loss=cfg.density_loss,
+            pose_match=pose_match,
+        )
+        return terms.total, (terms, bs["stats"], out.rgb_map)
+
+    return loss_fn
 
 
 def to_device_input(item: Dict) -> Dict:

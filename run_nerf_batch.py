@@ -151,9 +151,14 @@ def main(argv=None):
     running = []
     last_print = last_ckpt = last_eval = trainer.global_step
     t0 = time.time()
+
+    from mpsnerf_tpu.data.prefetch import PrefetchLoader
+
+    loader = PrefetchLoader(
+        dataset, seed=args.seed, num_workers=min(args.num_worker, 4),
+    )
     while trainer.global_step < n_iters:
-        idx = int(rng.integers(len(dataset)))
-        item = dataset[idx]
+        item = next(loader)
         if pair_mode:
             sp_item, tp_item = item["sp_input"], item["tp_input"]
         else:

@@ -1,0 +1,63 @@
+"""Prefetching loader behavior."""
+
+import time
+
+import numpy as np
+import pytest
+
+from mpsnerf_tpu.data.prefetch import PrefetchLoader
+
+
+class SlowDataset:
+    def __init__(self, delay=0.02):
+        self.delay = delay
+        self.calls = []
+
+    def __len__(self):
+        return 10
+
+    def __getitem__(self, i):
+        time.sleep(self.delay)
+        self.calls.append(i)
+        return {"idx": i, "data": np.zeros(4)}
+
+
+class TestPrefetch:
+    def test_items_flow(self):
+        ds = SlowDataset()
+        loader = PrefetchLoader(ds, seed=0, num_workers=2, prefetch=4)
+        items = [next(loader) for _ in range(8)]
+        loader.close()
+        assert all(0 <= it["idx"] < 10 for it in items)
+
+    def test_overlaps_consumer_work(self):
+        ds = SlowDataset(delay=0.05)
+        loader = PrefetchLoader(ds, seed=0, num_workers=2, prefetch=4)
+        next(loader)  # warm
+        time.sleep(0.3)  # let the queue fill
+        t0 = time.time()
+        for _ in range(4):
+            next(loader)
+        dt = time.time() - t0
+        loader.close()
+        # 4 items at 0.05s each would take 0.2s serially; prefetch hides it
+        assert dt < 0.15
+
+    def test_zero_workers_synchronous(self):
+        ds = SlowDataset(delay=0.0)
+        loader = PrefetchLoader(ds, seed=0, num_workers=0)
+        it = next(loader)
+        assert "idx" in it
+
+    def test_error_propagates(self):
+        class Bad:
+            def __len__(self):
+                return 1
+
+            def __getitem__(self, i):
+                raise RuntimeError("boom")
+
+        loader = PrefetchLoader(Bad(), num_workers=1)
+        with pytest.raises(RuntimeError):
+            next(loader)
+        loader.close()

@@ -32,6 +32,9 @@ _MODEL_VARIANTS = {
     # numpy-era correction models -> correction-field pipeline
     "correction_by_f3d": {"correction_field": True},
     "correction_by_f3d_fagg": {"correction_field": True},
+    # the reference's fallthrough default (model_selection.py:84) — UVH
+    # aggregation is likewise subsumed by the correction-field pipeline
+    "correction_by_uvh_agg": {"correction_field": True},
 }
 
 

@@ -37,8 +37,55 @@ H36M_START_POSE = [750, 1250, 750, 1500, 1250, 1300, 1000]
 H36M_NOVEL_VIEW = [3]
 
 
+class DatasetWindow:
+    """Lazy item sequence over a dataset window — eval protocols iterate
+    items once; materializing hundreds of full-res items up front (the
+    H36M novel-view window is 150-300 poses of 4x1000x1000 images) would
+    need tens of GB."""
+
+    def __init__(self, dataset, n: int):
+        self.dataset = dataset
+        self.n = n
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, i):
+        if isinstance(i, slice):
+            start, stop, step = i.indices(self.n)
+            assert step == 1
+            return _ShiftedWindow(self, start, stop)
+        if not 0 <= i < self.n:
+            raise IndexError(i)
+        return self.dataset[i]
+
+    def __iter__(self):
+        for i in range(self.n):
+            yield self[i]
+
+
+class _ShiftedWindow:
+    def __init__(self, base, start, stop):
+        self.base, self.start, self.stop = base, start, stop
+
+    def __len__(self):
+        return self.stop - self.start
+
+    def __iter__(self):
+        for i in range(self.start, self.stop):
+            yield self.base[i]
+
+
 class ViewRenderer:
-    """Renders full eval views through a compiled fixed-size ray chunk."""
+    """Renders full eval views through a compiled fixed-size ray chunk.
+
+    Rays are SHUFFLED with a fixed permutation before chunking: full-image
+    scan order makes chunk validity bimodal (body chunks run up to ~40%
+    in-body samples vs ~6% mean — measured), which would overflow a tight
+    compaction capacity; shuffling equalizes every chunk to the mean so
+    ``eval_compact_fraction`` (default 0.125, ~2x headroom) never drops
+    points.  Outputs are inverse-permuted.
+    """
 
     def __init__(
         self,
@@ -47,12 +94,20 @@ class ViewRenderer:
         chunk: int = 4096,
         n_samples: int = 128,
         white_bkgd: bool = False,
+        eval_compact_fraction: float = 0.125,
+        shuffle_rays: bool = True,
     ):
+        if (
+            eval_compact_fraction is not None
+            and model.compact_fraction is not None
+        ):
+            model = model.clone(compact_fraction=eval_compact_fraction)
         self.model = model
         self.smpl_selector = smpl_selector
         self.chunk = chunk
         self.n_samples = n_samples
         self.white_bkgd = white_bkgd
+        self.shuffle_rays = shuffle_rays
         self._sp_cache = (None, None)  # (id(sp_item), latent)
 
         model_ = model
@@ -109,6 +164,11 @@ class ViewRenderer:
             sel = np.flatnonzero(ray_mask.reshape(-1))
             ro, rd, nr, fr = ro[sel], rd[sel], nr[sel], fr[sel]
 
+        perm = None
+        if self.shuffle_rays:
+            perm = np.random.default_rng(0).permutation(ro.shape[0])
+            ro, rd, nr, fr = ro[perm], rd[perm], nr[perm], fr[perm]
+
         n = ro.shape[0]
         n_pad = ((n + self.chunk - 1) // self.chunk) * self.chunk
 
@@ -130,6 +190,10 @@ class ViewRenderer:
             outs.append(np.asarray(rgb))
         rgb = np.concatenate(outs, axis=0)[:n]
 
+        if perm is not None:
+            unshuffled = np.empty_like(rgb)
+            unshuffled[perm] = rgb
+            rgb = unshuffled
         if ray_mask is not None:
             full = np.zeros((n_total, 3), np.float32)
             full[sel] = rgb
@@ -173,8 +237,8 @@ def run_thuman_eval(
             root, start=0, interval=1, poses_num=poses_num, **common
         )
         humans[name] = {
-            "novel_pose": [ds_pose[i] for i in range(poses_num + 1)],
-            "novel_view": [ds_view[i] for i in range(poses_num)],
+            "novel_pose": DatasetWindow(ds_pose, poses_num + 1),
+            "novel_view": DatasetWindow(ds_view, poses_num),
         }
         start_poses[name] = start
 
@@ -212,14 +276,30 @@ def run_h36m_eval(
     view_ds = dataset_cls(root, start=0, interval=5,
                           poses_num=H36M_NOVEL_VIEW_POSES_NUM[p], **common)
 
+    class _SpThenWindow:
+        """novel-pose items: the source item first, then the window."""
+
+        def __init__(self, sp_item, window):
+            self.sp_item = sp_item
+            self.window = window
+
+        def __len__(self):
+            return 1 + len(self.window)
+
+        def __getitem__(self, i):
+            if isinstance(i, slice):
+                assert i == slice(1, None)
+                return self.window
+            return self.sp_item if i == 0 else self.window[i - 1]
+
     humans = {
         name: {
-            "novel_pose": [sp_ds[0]] + [
-                pose_ds[i] for i in range(H36M_POSES_NUM[p])
-            ],
-            "novel_view": [
-                view_ds[i] for i in range(H36M_NOVEL_VIEW_POSES_NUM[p])
-            ],
+            "novel_pose": _SpThenWindow(
+                sp_ds[0], DatasetWindow(pose_ds, H36M_POSES_NUM[p])
+            ),
+            "novel_view": DatasetWindow(
+                view_ds, H36M_NOVEL_VIEW_POSES_NUM[p]
+            ),
         }
     }
 

@@ -73,6 +73,8 @@ class RawOutput(NamedTuple):
     nearest_smpl_normal: jnp.ndarray  # (N, 3)
     world_src_pts: jnp.ndarray        # (N, 3) (mesh_animation consumers)
     bweights: jnp.ndarray             # (N, 24)
+    n_dropped: jnp.ndarray            # () valid points lost to capacity
+    # overflow (0 when compaction is off or capacity suffices)
 
     def packed(self) -> jnp.ndarray:
         """The reference's 23-channel layout, for parity checks."""
@@ -120,8 +122,12 @@ class MPSNeRF(nn.Module):
     n_input_views: int = 3  # sizes the blend head
     # static capacity for masked-point compaction as a fraction of the
     # query count; None disables (full masked compute, exact reference
-    # semantics even at capacity overflow)
-    compact_fraction: Optional[float] = 0.25
+    # semantics even at capacity overflow).  Body-importance-sampled TRAIN
+    # batches run ~35-42% in-body samples (measured at the shipped config),
+    # so the default must be 0.5; full-image eval renders are ~6% valid and
+    # use tighter caps with shuffled rays (see eval/runner.ViewRenderer).
+    # RawOutput.n_dropped reports any overflow.
+    compact_fraction: Optional[float] = 0.5
     # two-phase nearest-vertex cull: a cheap 1-NN against a vertex
     # subsample conservatively discards far points (triangle inequality —
     # exact) before the full-table 1-NN runs on this fraction of points.
@@ -466,6 +472,13 @@ class MPSNeRF(nn.Module):
             nearest_smpl_normal=zmask(nearest_smpl_normal),
             world_src_pts=world_src,
             bweights=bweights,
+            n_dropped=(
+                jnp.maximum(
+                    cplan.n_valid - cplan.gather_idx.shape[0], 0
+                ).astype(jnp.int32)
+                if cplan is not None
+                else jnp.zeros((), jnp.int32)
+            ),
         )
 
     def __call__(self, smpl, sp_input, tp_input, world_pts, viewdirs,

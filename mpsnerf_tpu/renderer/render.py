@@ -86,7 +86,12 @@ def render_rays(
     )
 
     raw_shaped = jax.tree.map(
-        lambda x: x.reshape((r, n_samples) + x.shape[1:]), raw
+        lambda x: (
+            x.reshape((r, n_samples) + x.shape[1:])
+            if x.ndim and x.shape[0] == r * n_samples
+            else x  # scalar diagnostics (e.g. n_dropped)
+        ),
+        raw,
     )
     return RenderResult(
         rgb_map=out.rgb_map,

@@ -40,12 +40,15 @@ def main():
     CHUNK = 256
     N_INPUT_VIEWS = 3
 
+    from mpsnerf_tpu.data import attach_body_grid
+
     ds = SyntheticHumanDataset(
         n_poses=1, n_cameras=N_INPUT_VIEWS + 1, image_size=H, n_rays=64,
         n_verts=6890, num_instances=1,
         input_views=list(range(N_INPUT_VIEWS)),
     )
     item = ds.get_item(0, instance_idx=0)
+    attach_body_grid(item)  # O(1) candidate cull for the hot 1-NN
     smpl = ds.smpl_for(0)
     inp = to_device_input(item)
 

@@ -42,6 +42,10 @@ def main(argv=None):
     dataset = return_dataset(args, split="test")
 
     item = dataset[0]
+    if not args.can_flag:
+        from mpsnerf_tpu.data import attach_body_grid
+
+        attach_body_grid(item)  # O(1) cull for the dense grid queries
     inp = to_device_input(item)
     smpl = smpl_models[int(item["gender"])]
     variables = jax.jit(model.init, static_argnames=("train",))(

@@ -11,4 +11,14 @@ def attach_spconv_plan(item):
     return item
 
 
+def attach_body_grid(item, voxel: float = 0.02):
+    """Add the conservative body-occupancy grid (O(1) human-region
+    candidate test — ops/body_grid.py).  Built from the SMPL-frame
+    vertices (= the 'feature' field)."""
+    from mpsnerf_tpu.ops.body_grid import build_body_grid
+
+    item["body_grid"] = build_body_grid(item["feature"], voxel=voxel)
+    return item
+
+
 __all__ = ["SyntheticHumanDataset", "voxelize_vertices", "attach_spconv_plan"]

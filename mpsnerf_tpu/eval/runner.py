@@ -145,6 +145,10 @@ class ViewRenderer:
         ``sp_item``.  Returns (H*W, 3) float.  ``ray_mask`` restricts
         rendering to masked rays (H36M masked-ray mode, all_test.py:384-387);
         unmasked pixels return 0."""
+        if "body_grid" not in tp_item and "feature" in tp_item:
+            from mpsnerf_tpu.data import attach_body_grid
+
+            attach_body_grid(tp_item)
         sp = to_device_input(
             {kk: vv for kk, vv in sp_item.items() if kk != "msk_all"}
         )

@@ -277,7 +277,33 @@ class MPSNeRF(nn.Module):
 
             use_compact = self.compact_fraction is not None and self.human_sample
 
-            if use_compact and self.cull_fraction is not None:
+            if use_compact and "body_grid" in tp_input:
+                # O(1) stage 1: conservative occupancy-grid candidate test
+                # (exact superset of the 5 cm mask — see ops/body_grid.py);
+                # the exact 1-NN then runs on the compacted candidates only
+                from mpsnerf_tpu.ops.body_grid import grid_lookup
+
+                cand = grid_lookup(tp_input["body_grid"], q_stop).astype(
+                    jnp.int32
+                )
+                cplan = plan_compaction(cand, cap_of(self.compact_fraction))
+                d2, q_ids = nearest_vertex(
+                    compact(cplan, q_stop), tar_smpl_pts
+                )
+                k1 = d2.shape[0]
+                in_domain = (
+                    jax.lax.broadcasted_iota(jnp.int32, (k1, 1), 0)[:, 0]
+                    < cplan.n_valid
+                )
+                fine = (
+                    (d2 < HUMAN_DIST_THRESHOLD_SQ) & in_domain
+                ).astype(jnp.int32)
+                q_pts = compact(cplan, smpl_query_pts)
+                q_vd = compact(cplan, viewdirs)
+                # the tail runs on all candidate slots; candidates beyond
+                # 5 cm render as empty through the final mask (-80 fill)
+                pts_mask = expand(cplan, fine, 0)
+            elif use_compact and self.cull_fraction is not None:
                 # phase 1: cheap conservative cull.  1-NN against a vertex
                 # subsample; by the triangle inequality a point farther
                 # than (5 cm + delta) from the subsample is certainly
@@ -439,8 +465,10 @@ class MPSNeRF(nn.Module):
 
         if cplan is not None:
             # scatter compacted results back to the full point set; the
-            # effective mask is ``take`` (valid AND within capacity)
-            pts_mask = cplan.take.astype(jnp.int32)
+            # effective mask is ``take`` (valid AND within capacity) ANDed
+            # with the branch's own mask (the body-grid path marks
+            # beyond-5cm candidates invalid in pts_mask already)
+            pts_mask = pts_mask * cplan.take.astype(jnp.int32)
             rgb = expand(cplan, rgb, 0.0)
             alpha = expand(cplan, alpha, 0.0)
             smpl_src = expand(cplan, smpl_src, 0.0)

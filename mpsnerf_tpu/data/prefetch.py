@@ -3,12 +3,18 @@
 The reference overlaps host-side data prep (image IO, undistortion, ray
 sampling) with GPU compute via ``DataLoader(num_workers=16)``
 (run_nerf_batch.py:455).  Here a small thread pool keeps a queue of ready
-items ahead of the jitted train step; index order comes from a seeded
-sampler so runs stay reproducible.
+items ahead of the jitted train step.
+
+Determinism: indices are drawn from a seeded sampler under a lock and
+tagged with sequence numbers; the consumer REORDERS completed items by
+sequence, so two identically-seeded runs consume the exact same item
+stream regardless of worker-thread races (torch's DataLoader makes the
+same guarantee).
 """
 
 from __future__ import annotations
 
+import heapq
 import queue
 import threading
 from typing import Callable, Iterator, Optional
@@ -44,6 +50,9 @@ class PrefetchLoader:
         self._queue: "queue.Queue" = queue.Queue(maxsize=max(1, prefetch))
         self._stop = threading.Event()
         self._index_lock = threading.Lock()
+        self._seq = 0
+        self._next_out = 0
+        self._reorder: list = []  # heap of (seq, item)
         self._threads = []
         if num_workers > 0:
             for _ in range(num_workers):
@@ -51,20 +60,22 @@ class PrefetchLoader:
                 t.start()
                 self._threads.append(t)
 
-    def _next_index(self) -> int:
+    def _draw(self):
         with self._index_lock:
-            return self.sampler(self.rng)
+            seq = self._seq
+            self._seq += 1
+            return seq, self.sampler(self.rng)
 
     def _worker(self) -> None:
         while not self._stop.is_set():
-            idx = self._next_index()
+            seq, idx = self._draw()
             try:
                 item = self.dataset[idx]
             except Exception as e:  # surface errors on the consumer side
                 item = e
             while not self._stop.is_set():
                 try:
-                    self._queue.put(item, timeout=0.5)
+                    self._queue.put((seq, item), timeout=0.5)
                     break
                 except queue.Full:
                     continue
@@ -74,11 +85,18 @@ class PrefetchLoader:
 
     def __next__(self):
         if self.num_workers == 0:
-            return self.dataset[self._next_index()]
-        item = self._queue.get()
-        if isinstance(item, Exception):
-            raise item
-        return item
+            return self.dataset[self._draw()[1]]
+        # deliver strictly in sequence order
+        while True:
+            if self._reorder and self._reorder[0][0] == self._next_out:
+                _, item = heapq.heappop(self._reorder)
+                self._next_out += 1
+                if isinstance(item, Exception):
+                    raise item
+                return item
+            seq, item = self._queue.get()
+            # seq values are unique, so the item is never compared
+            heapq.heappush(self._reorder, (seq, item))
 
     def close(self) -> None:
         self._stop.set()

@@ -95,7 +95,8 @@ def _eval_pass(
             if verbose:
                 print(
                     "[Test] pose:", pose_idx, " view:", k,
-                    " mse:", round(mse, 5), " psnr:", {psnr}, " ssim:", {ssim},
+                    " mse:", round(mse, 5), " psnr:", round(psnr, 5),
+                    " ssim:", round(ssim, 5),
                 )
             view_mse.append(mse)
             view_psnr.append(psnr)

@@ -108,7 +108,6 @@ class ViewRenderer:
         self.n_samples = n_samples
         self.white_bkgd = white_bkgd
         self.shuffle_rays = shuffle_rays
-        self._sp_cache = (None, None)  # (id(sp_item), latent)
 
         model_ = model
         n_samples_ = n_samples
@@ -133,11 +132,16 @@ class ViewRenderer:
         self._encode_fn = encode_fn
 
     def _latent_for(self, variables, sp_item):
-        key = id(sp_item)
-        if self._sp_cache[0] != key:
-            latent = self._encode_fn(variables, jnp.asarray(sp_item["img_all"]))
-            self._sp_cache = (key, latent)
-        return self._sp_cache[1]
+        # the latent cache lives ON the item dict: id()-keyed caching is
+        # unsafe with lazy windows (freed dicts' addresses get reused and
+        # a stale latent would render with the wrong source encoding)
+        cached = sp_item.get("_latent_cache")
+        if cached is None:
+            cached = self._encode_fn(
+                variables, jnp.asarray(sp_item["img_all"])
+            )
+            sp_item["_latent_cache"] = cached
+        return cached
 
     def render_view(self, variables, sp_item: Dict, tp_item: Dict, k: int,
                     ray_mask: Optional[np.ndarray] = None) -> np.ndarray:
@@ -149,11 +153,12 @@ class ViewRenderer:
             from mpsnerf_tpu.data import attach_body_grid
 
             attach_body_grid(tp_item)
+        skip = ("msk_all", "_latent_cache")
         sp = to_device_input(
-            {kk: vv for kk, vv in sp_item.items() if kk != "msk_all"}
+            {kk: vv for kk, vv in sp_item.items() if kk not in skip}
         )
         tp = to_device_input(
-            {kk: vv for kk, vv in tp_item.items() if kk != "msk_all"}
+            {kk: vv for kk, vv in tp_item.items() if kk not in skip}
         )
         smpl = self.smpl_selector(int(sp_item["gender"]))
         latent = self._latent_for(variables, sp_item)
@@ -307,9 +312,12 @@ def run_h36m_eval(
         }
     }
 
+    # masked-ray rendering keeps only box-intersecting rays, whose in-body
+    # sample fraction is train-like (~20-40%), NOT the ~6% full-image mean
+    # — the capacity must match or valid samples get dropped
     renderer = ViewRenderer(
         model, smpl_selector, chunk=args.chunk, n_samples=args.N_samples,
-        white_bkgd=args.white_bkgd,
+        white_bkgd=args.white_bkgd, eval_compact_fraction=0.5,
     )
 
     def render_view(sp, tp, k):
@@ -366,7 +374,7 @@ def run_legacy_test(
             print(
                 "[Test] Source:", int(sp_item["pose_index"]),
                 " Target:", int(item["pose_index"]), " View:", k,
-                " PSNR: ", {round(psnr, 3)},
+                " PSNR: ", round(psnr, 3),
             )
 
             side = np.concatenate([to8b(pred), to8b(gt)], axis=1)

@@ -265,6 +265,7 @@ class MPSNeRF(nn.Module):
 
         geometry_only = mode in ("extract_mesh", "mesh_animation")
         cplan = None
+        n_dropped = jnp.zeros((), jnp.int32)
 
         if not geometry_only:
             smpl_query_pts = world_to_smpl(world_pts, tf_t.R, tf_t.Th)
@@ -303,6 +304,9 @@ class MPSNeRF(nn.Module):
                 # the tail runs on all candidate slots; candidates beyond
                 # 5 cm render as empty through the final mask (-80 fill)
                 pts_mask = expand(cplan, fine, 0)
+                n_dropped = jnp.maximum(
+                    cplan.n_valid - cplan.gather_idx.shape[0], 0
+                ).astype(jnp.int32)
             elif use_compact and self.cull_fraction is not None:
                 # phase 1: cheap conservative cull.  1-NN against a vertex
                 # subsample; by the triangle inequality a point farther
@@ -330,6 +334,16 @@ class MPSNeRF(nn.Module):
                     (d2 < HUMAN_DIST_THRESHOLD_SQ) & in_domain
                 ).astype(jnp.int32)
                 plan2 = plan_compaction(fine, cap_of(self.compact_fraction))
+                # overflow accounting must include BOTH stages — compose()
+                # only carries the inner plan's n_valid
+                n_dropped = (
+                    jnp.maximum(
+                        plan1.n_valid - plan1.gather_idx.shape[0], 0
+                    )
+                    + jnp.maximum(
+                        plan2.n_valid - plan2.gather_idx.shape[0], 0
+                    )
+                ).astype(jnp.int32)
                 cplan = compose(plan1, plan2)
                 q_ids = compact(plan2, ids_c)
                 q_pts = compact(cplan, smpl_query_pts)
@@ -352,6 +366,9 @@ class MPSNeRF(nn.Module):
                     q_pts = compact(cplan, smpl_query_pts)
                     q_ids = compact(cplan, vert_ids_t)
                     q_vd = compact(cplan, viewdirs)
+                    n_dropped = jnp.maximum(
+                        cplan.n_valid - cplan.gather_idx.shape[0], 0
+                    ).astype(jnp.int32)
 
             coarse_can = deform_target_to_canonical(
                 smpl, tf_t, q_pts, q_ids, self.mean_shape
@@ -500,13 +517,7 @@ class MPSNeRF(nn.Module):
             nearest_smpl_normal=zmask(nearest_smpl_normal),
             world_src_pts=world_src,
             bweights=bweights,
-            n_dropped=(
-                jnp.maximum(
-                    cplan.n_valid - cplan.gather_idx.shape[0], 0
-                ).astype(jnp.int32)
-                if cplan is not None
-                else jnp.zeros((), jnp.int32)
-            ),
+            n_dropped=n_dropped,
         )
 
     def __call__(self, smpl, sp_input, tp_input, world_pts, viewdirs,

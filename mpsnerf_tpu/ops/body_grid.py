@@ -33,17 +33,27 @@ def build_body_grid(
     verts: np.ndarray,
     voxel: float = 0.02,
     threshold: float = HUMAN_DIST_THRESHOLD,
+    pad_to: int = 128,
 ) -> BodyGrid:
-    """verts: (V, 3) in the frame the query points will use (SMPL frame)."""
+    """verts: (V, 3) in the frame the query points will use (SMPL frame).
+
+    The grid shape is padded to ``pad_to`` per dim (2.56 m at the default
+    voxel) so every pose of every subject shares ONE static shape — a
+    fresh shape per pose would recompile the whole jitted render graph on
+    each item of an eval sweep.  Oversized bodies fall back to 32-rounded
+    dims (rare; costs a recompile).
+    """
     verts = np.asarray(verts, np.float32)
     half_diag = 0.5 * np.sqrt(3.0) * voxel
     reach = threshold + half_diag
 
     lo = verts.min(0) - reach - voxel
     hi = verts.max(0) + reach + voxel
-    # round dims up to multiples of 32 so jit shape buckets stay few
     shape = np.ceil((hi - lo) / voxel).astype(int) + 1
-    shape = (shape + 31) // 32 * 32
+    if (shape <= pad_to).all():
+        shape = np.full(3, pad_to, int)
+    else:
+        shape = (shape + 31) // 32 * 32
 
     # ball stencil of voxel offsets within `reach` of a vertex
     r = int(np.ceil(reach / voxel))

@@ -117,6 +117,11 @@ def nearest_vertex_pallas(query: jnp.ndarray, verts: jnp.ndarray, interpret=Fals
     q = _pad_to(query.astype(jnp.float32), nb, 0.0)
 
     nv = _round_up(verts.shape[0], _VERT_TILE)
+    if nv > (1 << _ID_BITS):
+        raise ValueError(
+            f"padded vertex count {nv} exceeds the {_ID_BITS}-bit id range "
+            "of the packed-key kernel — use nearest_vertex_xla"
+        )
     # pad with a far-away sentinel so padding never wins the argmin
     v = _pad_to(verts.astype(jnp.float32), nv, 1e8)
     v_tiles = v.reshape(-1, _VERT_TILE, 3)
@@ -143,8 +148,14 @@ def nearest_vertex_pallas(query: jnp.ndarray, verts: jnp.ndarray, interpret=Fals
 
 
 def nearest_vertex(query: jnp.ndarray, verts: jnp.ndarray):
-    """Dispatch: Pallas on TPU, XLA elsewhere. Returns ``(dist2, ids)``."""
-    if jax.default_backend() == "tpu":
+    """Dispatch: Pallas on TPU, XLA elsewhere. Returns ``(dist2, ids)``.
+
+    The packed-key kernel stores ids in 13 bits; vertex sets whose padded
+    count exceeds 2^13 fall back to the XLA path (silent corruption
+    otherwise).
+    """
+    nv = _round_up(verts.shape[0], _VERT_TILE)
+    if jax.default_backend() == "tpu" and nv <= (1 << _ID_BITS):
         return nearest_vertex_pallas(query, verts)
     return nearest_vertex_xla(query, verts)
 

@@ -324,14 +324,19 @@ def sample_rays_ohem(
     n_sampled = 0
     coord_all = np.argwhere(bound_mask == 1)
     loss = loss_img[coord_all[:, 0], coord_all[:, 1]].astype(np.float64)
-    loss = loss / max(loss.sum(), 1e-12)
+    n_nonzero = int((loss > 0).sum())
+    if n_nonzero == 0:
+        loss = np.full(len(coord_all), 1.0 / max(len(coord_all), 1))
+        n_nonzero = len(coord_all)
+    else:
+        loss = loss / loss.sum()
 
     while n_sampled < n_rays:
         n_rand = n_rays - n_sampled
-        n_hard = int(n_rand * 0.8)
+        # replace=False needs at least n_hard pixels with nonzero weight
+        n_hard = min(int(n_rand * 0.8), n_nonzero, len(coord_all))
         idx_hard = rng.choice(
-            len(coord_all), size=min(n_hard, len(coord_all)),
-            replace=False, p=loss,
+            len(coord_all), size=n_hard, replace=False, p=loss,
         )
         idx_unif = rng.integers(0, len(coord_all), n_rand - len(idx_hard))
         coord = coord_all[np.concatenate([idx_hard, idx_unif])]

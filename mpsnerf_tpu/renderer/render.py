@@ -129,10 +129,12 @@ def render_rays_mapped(
     c = n // chunk
 
     def one(args):
-        ro, rd, nr, fr = args
+        ro, rd, nr, fr, idx = args
         out = render_rays(
             model, variables, smpl, sp_input, tp_input, latent,
-            ro, rd, nr, fr, key, n_samples, **kwargs,
+            ro, rd, nr, fr,
+            jax.random.fold_in(key, idx),  # per-chunk keys: shared jitter
+            n_samples, **kwargs,           # would band at chunk boundaries
         )
         return out.rgb_map, out.disp_map, out.acc_map
 
@@ -143,6 +145,7 @@ def render_rays_mapped(
             rays_d.reshape(c, chunk, 3),
             near.reshape(c, chunk),
             far.reshape(c, chunk),
+            jnp.arange(c, dtype=jnp.int32),
         ),
     )
     return rgb.reshape(n, 3), disp.reshape(n), acc.reshape(n)

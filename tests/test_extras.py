@@ -78,6 +78,39 @@ class TestOHEM:
         assert hard.mean() > 0.05
 
 
+class TestOHEMDegenerate:
+    def test_zero_loss_image_falls_back_to_uniform(self):
+        rng = np.random.default_rng(0)
+        H = W = 64
+        img = rng.uniform(size=(H, W, 3)).astype(np.float32)
+        msk = np.zeros((H, W), np.uint8)
+        msk[20:44, 20:44] = 1
+        loss_img = np.zeros((H, W))  # cold start: no loss yet
+        K, R, T = _ring_camera(0.0, 2.5, 0.0, H, W)
+        bounds = np.array([[-0.5, -0.5, -0.5], [0.5, 0.5, 0.5]])
+        rb = sample_rays_ohem(
+            img, loss_img, msk, K, R, T, bounds, 64, "train",
+            rng=np.random.default_rng(1),
+        )
+        assert rb.rgb.shape == (64, 3)
+
+    def test_few_nonzero_loss_pixels(self):
+        rng = np.random.default_rng(0)
+        H = W = 64
+        img = rng.uniform(size=(H, W, 3)).astype(np.float32)
+        msk = np.zeros((H, W), np.uint8)
+        msk[20:44, 20:44] = 1
+        loss_img = np.zeros((H, W))
+        loss_img[32, 32] = 5.0  # a single hard pixel
+        K, R, T = _ring_camera(0.0, 2.5, 0.0, H, W)
+        bounds = np.array([[-0.5, -0.5, -0.5], [0.5, 0.5, 0.5]])
+        rb = sample_rays_ohem(
+            img, loss_img, msk, K, R, T, bounds, 64, "train",
+            rng=np.random.default_rng(1),
+        )
+        assert rb.rgb.shape == (64, 3)
+
+
 class TestDatasetVariants:
     def test_random_variant_view_table(self, tmp_path, monkeypatch):
         from mpsnerf_tpu.data.thuman import (

@@ -43,6 +43,18 @@ class TestPrefetch:
         # 4 items at 0.05s each would take 0.2s serially; prefetch hides it
         assert dt < 0.15
 
+    def test_deterministic_order_across_runs(self):
+        """Identically-seeded loaders must yield the same item sequence
+        regardless of worker races (ordered delivery)."""
+        def run():
+            ds = SlowDataset(delay=0.005)
+            loader = PrefetchLoader(ds, seed=7, num_workers=3, prefetch=6)
+            seq = [next(loader)["idx"] for _ in range(12)]
+            loader.close()
+            return seq
+
+        assert run() == run()
+
     def test_zero_workers_synchronous(self):
         ds = SlowDataset(delay=0.0)
         loader = PrefetchLoader(ds, seed=0, num_workers=0)

@@ -275,6 +275,11 @@ class H36MDatasetBatch:
         return ret
 
 
+class H36MDataset(H36MDatasetBatch):
+    """Legacy variant (ref h36m_dataset.py:16-266) — identical behavior to
+    the batch loader at these tables; kept for factory/name parity."""
+
+
 class H36MDatasetPair(H36MDatasetBatch):
     """Pair items for H36M_P training (ref h36m_dataset.py:608-785):
     50% same-pose pairs, else a random pose within ``border`` indices."""

@@ -276,6 +276,28 @@ class THumanDatasetBatch:
         return ret
 
 
+class THumanDataset(THumanDatasetBatch):
+    """Legacy variant (ref THuman_dataset.py:12-276): the early view
+    tables — train views [0,6,12,18] at view_num=4 (the batch variant
+    trains on all 24) and paired input views otherwise.  Item schema is
+    identical; kept for factory/name parity."""
+
+    def __init__(self, *args, view_num: int = 24, split: str = "test",
+                 **kwargs):
+        super().__init__(*args, view_num=view_num, split=split, **kwargs)
+        self.train_view = (
+            [0, 6, 12, 18] if view_num == 4 else list(range(view_num))
+        )
+        self.input_view = (
+            [0, 6, 12, 18] if view_num == 4
+            else [0, 1, 6, 7, 12, 13, 18, 19]
+        )
+        self.test_view = list(range(24))
+        self.output_view = (
+            self.train_view if split == "train" else self.test_view
+        )
+
+
 class THumanDatasetBatchRandom(THumanDatasetBatch):
     """Variant with the alternate 4-view subset [0, 4, 12, 16]
     (ref THuman_dataset.py:853-871); otherwise identical item schema."""

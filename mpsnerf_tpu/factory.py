@@ -85,9 +85,10 @@ def return_dataset(args: Any, split: str | None = None):
         )
 
     if dst in ("THuman_B", "THuman"):
-        from mpsnerf_tpu.data.thuman import THumanDatasetBatch
+        from mpsnerf_tpu.data.thuman import THumanDataset, THumanDatasetBatch
 
-        return THumanDatasetBatch(
+        cls = THumanDatasetBatch if dst == "THuman_B" else THumanDataset
+        return cls(
             args.data_root,
             split=split,
             view_num=args.view_num,
@@ -100,6 +101,23 @@ def return_dataset(args: Any, split: str | None = None):
             male=args.male,
             mean_shape=args.mean_shape,
             model=args.model,
+        )
+
+    if dst == "THuman_B_R":
+        from mpsnerf_tpu.data.thuman import THumanDatasetBatchRandom
+
+        return THumanDatasetBatchRandom(
+            args.data_root,
+            split=split,
+            view_num=args.view_num,
+            N_rand=args.N_rand,
+            multi_person=bool(args.multi_person),
+            num_instance=args.num_instance,
+            start=args.start,
+            interval=args.interval,
+            poses_num=args.poses_num,
+            male=args.male,
+            mean_shape=args.mean_shape,
         )
 
     if dst == "THuman_P":
@@ -122,9 +140,13 @@ def return_dataset(args: Any, split: str | None = None):
         )
 
     if dst in ("H36M_B", "H36M", "H36M_B_All"):
-        from mpsnerf_tpu.data.h36m import H36MDatasetBatch
+        from mpsnerf_tpu.data.h36m import (
+            H36MDataset, H36MDatasetBatch, H36MDatasetBatchAll,
+        )
 
-        return H36MDatasetBatch(
+        cls = {"H36M_B": H36MDatasetBatch, "H36M": H36MDataset,
+               "H36M_B_All": H36MDatasetBatchAll}[dst]
+        return cls(
             args.data_root,
             split=split,
             view_num=args.view_num,

@@ -113,6 +113,9 @@ def config_parser() -> argparse.ArgumentParser:
                    help="shard rays over this many devices (0 = all)")
     p.add_argument("--debug_nans", type=int, default=0)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--resume_optimizer", type=int, default=0,
+                   help="restore optimizer state on resume (the reference "
+                        "intentionally resumes with a fresh Adam)")
 
     return p
 

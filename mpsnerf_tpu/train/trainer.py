@@ -83,11 +83,19 @@ def create_train_state(
     model: MPSNeRF, variables: Dict, cfg: TrainConfig, step: int = 0
 ) -> TrainState:
     tx = make_optimizer(cfg)
+    # deep-copy the leaves: the train step donates the state's buffers, so
+    # the state must own them (the caller's ``variables`` stay live)
+    params = jax.tree.map(
+        lambda x: jnp.array(x, copy=True), variables["params"]
+    )
     return TrainState(
         step=jnp.asarray(step, jnp.int32),
-        params=variables["params"],
-        batch_stats=variables.get("batch_stats", {}),
-        opt_state=tx.init(variables["params"]),
+        params=params,
+        batch_stats=jax.tree.map(
+            lambda x: jnp.array(x, copy=True),
+            variables.get("batch_stats", {}),
+        ),
+        opt_state=tx.init(params),
     )
 
 
@@ -251,9 +259,15 @@ class Trainer:
         self.model = model
         self.cfg = cfg
         self.state = create_train_state(model, variables, cfg, start_step)
-        self._step_plain = jax.jit(make_train_step(model, cfg, smooth=False))
+        # donate the state: its buffers (params, Adam moments) are consumed
+        # by each step, halving the train-state HBM footprint
+        self._step_plain = jax.jit(
+            make_train_step(model, cfg, smooth=False), donate_argnums=(0,)
+        )
         self._step_smooth = (
-            jax.jit(make_train_step(model, cfg, smooth=True))
+            jax.jit(
+                make_train_step(model, cfg, smooth=True), donate_argnums=(0,)
+            )
             if cfg.smooth_loss
             else self._step_plain
         )

@@ -89,8 +89,10 @@ def main(argv=None):
         pair_mode=pair_mode,
     )
 
-    # --- checkpoint resume (latest in dir; optimizer fresh, ref quirk)
+    # --- checkpoint resume (latest in dir; optimizer fresh by default —
+    # the reference's intentional behavior; --resume_optimizer restores it)
     start = 0
+    restored_opt = None
     if not args.no_reload:
         from mpsnerf_tpu.train.trainer import create_train_state
 
@@ -103,8 +105,12 @@ def main(argv=None):
                 "batch_stats": restored.batch_stats,
             }
             start = step
+            if args.resume_optimizer:
+                restored_opt = restored.opt_state
 
     trainer = Trainer(model, cfg, variables, start_step=start)
+    if restored_opt is not None:
+        trainer.state = trainer.state.replace(opt_state=restored_opt)
     writer = MetricWriter(basedir, expname)
 
     def smpl_selector(gender: int):

@@ -110,9 +110,9 @@ def make_batched_train_step(model, cfg, mesh: Mesh, smooth: bool = False):
     the DataParallel/DDP-over-NCCL replacement at full generality
     (SURVEY §7 step 9: mesh (data, ray)).
     """
-    import optax
-
-    from mpsnerf_tpu.train.trainer import make_loss_fn, make_optimizer
+    from mpsnerf_tpu.train.trainer import (
+        adam_apply, make_loss_fn, make_optimizer,
+    )
     from mpsnerf_tpu.train.losses import mse2psnr
 
     loss_one = make_loss_fn(model, cfg, smooth)
@@ -149,8 +149,7 @@ def make_batched_train_step(model, cfg, mesh: Mesh, smooth: bool = False):
             new_bs,
         )
 
-        updates, new_opt = tx.update(grads, state.opt_state, state.params)
-        new_params = optax.apply_updates(state.params, updates)
+        new_params, new_opt = adam_apply(tx, cfg, state, grads)
         psnr = mse2psnr(jnp.maximum(terms.img, 1e-10))
         new_state = state.replace(
             step=state.step + 1, params=new_params,

@@ -16,9 +16,10 @@ TPU-first restructuring:
   * the optimizer never leaves the device; the host loop only feeds data.
 
 Known deviation (documented): the reference recomputes the LR once per
-loader item from the pre-increment global step; here the optax schedule
-advances per optimizer step.  Relative LR difference is < 0.5^(V/decay):
-~0.06% at the shipped configs.
+loader item from the pre-increment global step; here the LR is computed
+from ``state.step`` per optimizer step (see :func:`lr_at_step` — this also
+makes checkpoint resume continue at the decayed LR).  Relative LR
+difference within an item is < 0.5^(V/decay): ~0.06% at shipped configs.
 """
 
 from __future__ import annotations
@@ -71,12 +72,30 @@ def lr_schedule(lrate: float, decay_steps: int):
     return lambda count: lrate * (0.5 ** (count / decay_steps))
 
 
-def make_optimizer(cfg: TrainConfig):
-    return optax.adam(
-        learning_rate=lr_schedule(cfg.lrate, cfg.decay_steps),
-        b1=0.9,
-        b2=0.999,
+def lr_at_step(cfg: TrainConfig, step) -> jnp.ndarray:
+    """The reference LR rule ``lrate * 0.5^(step/decay_steps)``
+    (run_nerf_batch.py:578), driven by the train state's own step counter —
+    a restored checkpoint therefore resumes at the decayed LR (the Adam
+    moments still restart fresh, matching the reference's resume)."""
+    return cfg.lrate * 0.5 ** (
+        jnp.asarray(step, jnp.float32) / cfg.decay_steps
     )
+
+
+def make_optimizer(cfg: TrainConfig):
+    # moments only; the LR is applied separately from ``state.step`` via
+    # :func:`lr_at_step` so the decay survives checkpoint resume (optax's
+    # internal schedule count would restart at 0 on ``tx.init``)
+    return optax.scale_by_adam(b1=0.9, b2=0.999)
+
+
+def adam_apply(tx, cfg: TrainConfig, state: "TrainState", grads):
+    """One Adam update at the LR for ``state.step``; returns
+    ``(new_params, new_opt_state)``."""
+    updates, new_opt = tx.update(grads, state.opt_state, state.params)
+    neg_lr = -lr_at_step(cfg, state.step)
+    updates = jax.tree.map(lambda u: neg_lr * u, updates)
+    return optax.apply_updates(state.params, updates), new_opt
 
 
 def create_train_state(
@@ -141,8 +160,7 @@ def make_train_step(
                 lambda x: jax.lax.pmean(x, axis_name), new_bs
             )
 
-        updates, new_opt = tx.update(grads, state.opt_state, state.params)
-        new_params = optax.apply_updates(state.params, updates)
+        new_params, new_opt = adam_apply(tx, cfg, state, grads)
         psnr = mse2psnr(jnp.maximum(terms.img, 1e-10))
         new_state = state.replace(
             step=state.step + 1,

@@ -88,14 +88,11 @@ class TestBatchedStep:
                 tot = tot + t
             return tot / 2.0
 
-        import optax
-
-        from mpsnerf_tpu.train.trainer import make_optimizer
+        from mpsnerf_tpu.train.trainer import adam_apply, make_optimizer
 
         g = jax.grad(mean_loss)(state.params)
         tx = make_optimizer(cfg)
-        upd, _ = tx.update(g, state.opt_state, state.params)
-        ref_params = optax.apply_updates(state.params, upd)
+        ref_params, _ = adam_apply(tx, cfg, state, g)
 
         diffs = jax.tree.map(
             lambda a, b: float(jnp.abs(a - b).max()),

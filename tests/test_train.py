@@ -47,6 +47,38 @@ class TestTrainStep:
         assert losses[-1] < losses[0]
         assert trainer.global_step == 12  # 3 items x 4 views
 
+    def test_resume_lr_decay(self, setup):
+        """A state at step S trains at lrate*0.5^(S/decay_steps): with
+        identical params/moments the update scales by exactly the LR ratio
+        (round-1 advisor finding: resume restarted the schedule at full
+        LR because tx.init reset the optax count)."""
+        _, smpl, inp, model, variables = setup
+        from mpsnerf_tpu.train.trainer import make_train_step
+
+        cfg = TrainConfig(
+            n_samples=8, smooth_loss=False, perturb=0.0, decay_steps=100
+        )
+        step_fn = jax.jit(make_train_step(model, cfg, smooth=False))
+        k = 0
+        rays = (
+            inp["ray_o_all"][k], inp["ray_d_all"][k],
+            inp["near_all"][k][:, 0], inp["far_all"][k][:, 0],
+            inp["rgb_all"][k], inp["bkgd_msk_all"][k],
+        )
+        key = jax.random.PRNGKey(3)
+        s0 = create_train_state(model, variables, cfg, step=0)
+        s1 = create_train_state(model, variables, cfg, step=100)
+        n0, _, _ = step_fn(s0, smpl, inp, inp, *rays, key)
+        n1, _, _ = step_fn(s1, smpl, inp, inp, *rays, key)
+        err = jax.tree.map(
+            lambda orig, a, b: float(
+                jnp.abs((b - orig) - 0.5 * (a - orig)).max()
+            ),
+            s0.params, n0.params, n1.params,
+        )
+        assert max(jax.tree.leaves(err)) < 1e-7
+        assert int(n1.step) == 101
+
     def test_smooth_step_produces_normal_losses(self, setup):
         _, smpl, inp, model, variables = setup
         cfg = TrainConfig(n_samples=8, smooth_loss=True, smooth_interval=1)

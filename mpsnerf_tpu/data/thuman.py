@@ -71,6 +71,12 @@ class THumanDatasetBatch:
         self.split = split
         self.nrays = N_rand
         self.mean_shape = mean_shape
+        # Honored by every variant.  Note the reference applies the resize
+        # only in the legacy loader (THuman_dataset.py:192-198) while
+        # ``THumanDatasetBatch`` accepts-and-drops the kwarg — but its own
+        # eval sizes frames as ``512 * ratio`` (run_nerf_batch.py:143,185),
+        # so honoring it uniformly is the intended behavior.
+        self.image_scaling = image_scaling
         self.rng = np.random.default_rng(seed)
 
         self.input_view = _INPUT_VIEWS.get(view_num, list(range(view_num)))
@@ -216,6 +222,14 @@ class THumanDatasetBatch:
             msk = cv2.undistort(msk, K, D)
             R = np.array(self.cams["R"][view_index])
             T = np.array(self.cams["T"][view_index])
+
+            ratio = self.image_scaling
+            if ratio != 1.0:
+                h, w = int(img.shape[0] * ratio), int(img.shape[1] * ratio)
+                img = cv2.resize(img, (w, h), interpolation=cv2.INTER_AREA)
+                msk = cv2.resize(msk, (w, h), interpolation=cv2.INTER_NEAREST)
+                K = K.copy()
+                K[:2] = K[:2] * ratio
 
             if view_index == self.output_view[0]:
                 i = int(os.path.basename(img_path)[:-4])

@@ -100,6 +100,7 @@ def return_dataset(args: Any, split: str | None = None):
             poses_num=args.poses_num,
             male=args.male,
             mean_shape=args.mean_shape,
+            image_scaling=args.image_scaling,
             model=args.model,
         )
 
@@ -118,6 +119,7 @@ def return_dataset(args: Any, split: str | None = None):
             poses_num=args.poses_num,
             male=args.male,
             mean_shape=args.mean_shape,
+            image_scaling=args.image_scaling,
         )
 
     if dst == "THuman_P":
@@ -137,6 +139,7 @@ def return_dataset(args: Any, split: str | None = None):
             random_pair=bool(args.random_pair),
             male=args.male,
             mean_shape=args.mean_shape,
+            image_scaling=args.image_scaling,
         )
 
     if dst in ("H36M_B", "H36M", "H36M_B_All"):
@@ -157,6 +160,7 @@ def return_dataset(args: Any, split: str | None = None):
             interval=args.interval,
             poses_num=args.poses_num,
             mean_shape=args.mean_shape,
+            image_scaling=args.image_scaling,
             new_mask=args.new_mask,
         )
 
@@ -176,6 +180,7 @@ def return_dataset(args: Any, split: str | None = None):
             poses_num=args.poses_num,
             random_pair=bool(args.random_pair),
             mean_shape=args.mean_shape,
+            image_scaling=args.image_scaling,
         )
 
     raise NotImplementedError(

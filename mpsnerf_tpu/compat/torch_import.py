@@ -62,32 +62,38 @@ def convert_reference_state_dict(
         return p, s
 
     # ---- 2D encoder (SpatialEncoder -> encoder_2d) ----
+    # partial state dicts (e.g. a single sub-module) simply skip absent
+    # sections instead of KeyError-ing
+    has_encoder = "encoder_2d.model.conv1.weight" in sd
     enc_p: Dict[str, Any] = {}
     enc_s: Dict[str, Any] = {}
-    enc_p["conv1"] = {"kernel": _conv(take("encoder_2d.model.conv1.weight"))}
-    enc_p["bn1"], enc_s["bn1"] = bn_pair("encoder_2d.model.bn1")
-    blocks = {"resnet34": (3, 4, 6, 3)}["resnet34"]
-    for stage in range(1, resnet_layers):
-        for b in range(blocks[stage - 1]):
-            src = f"encoder_2d.model.layer{stage}.{b}"
-            dst = f"layer{stage}_block{b}"
-            d_p: Dict[str, Any] = {}
-            d_s: Dict[str, Any] = {}
-            d_p["conv1"] = {"kernel": _conv(take(src + ".conv1.weight"))}
-            d_p["conv2"] = {"kernel": _conv(take(src + ".conv2.weight"))}
-            d_p["bn1"], d_s["bn1"] = bn_pair(src + ".bn1")
-            d_p["bn2"], d_s["bn2"] = bn_pair(src + ".bn2")
-            if src + ".downsample.0.weight" in sd:
-                d_p["downsample_conv"] = {
-                    "kernel": _conv(take(src + ".downsample.0.weight"))
-                }
-                d_p["downsample_bn"], d_s["downsample_bn"] = bn_pair(
-                    src + ".downsample.1"
-                )
-            enc_p[dst] = d_p
-            enc_s[dst] = d_s
-    params["encoder_2d"] = enc_p
-    stats["encoder_2d"] = enc_s
+    if has_encoder:
+        enc_p["conv1"] = {
+            "kernel": _conv(take("encoder_2d.model.conv1.weight"))
+        }
+        enc_p["bn1"], enc_s["bn1"] = bn_pair("encoder_2d.model.bn1")
+        blocks = {"resnet34": (3, 4, 6, 3)}["resnet34"]
+        for stage in range(1, resnet_layers):
+            for b in range(blocks[stage - 1]):
+                src = f"encoder_2d.model.layer{stage}.{b}"
+                dst = f"layer{stage}_block{b}"
+                d_p: Dict[str, Any] = {}
+                d_s: Dict[str, Any] = {}
+                d_p["conv1"] = {"kernel": _conv(take(src + ".conv1.weight"))}
+                d_p["conv2"] = {"kernel": _conv(take(src + ".conv2.weight"))}
+                d_p["bn1"], d_s["bn1"] = bn_pair(src + ".bn1")
+                d_p["bn2"], d_s["bn2"] = bn_pair(src + ".bn2")
+                if src + ".downsample.0.weight" in sd:
+                    d_p["downsample_conv"] = {
+                        "kernel": _conv(take(src + ".downsample.0.weight"))
+                    }
+                    d_p["downsample_bn"], d_s["downsample_bn"] = bn_pair(
+                        src + ".downsample.1"
+                    )
+                enc_p[dst] = d_p
+                enc_s[dst] = d_s
+        params["encoder_2d"] = enc_p
+        stats["encoder_2d"] = enc_s
 
     # ---- transformer ----
     if any(k.startswith("transformer.") for k in sd):

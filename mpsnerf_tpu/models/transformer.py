@@ -80,7 +80,9 @@ class _FeedForward(nn.Module):
     @nn.compact
     def __call__(self, x):
         x = TorchLinear(self.hidden_dim, name="fc1")(x)
-        x = nn.gelu(x)
+        # exact (erf) GELU — torch nn.GELU default; flax defaults to the
+        # tanh approximation, which differs by up to ~1e-3
+        x = nn.gelu(x, approximate=False)
         return TorchLinear(self.dim, name="fc2")(x)
 
 
@@ -100,10 +102,11 @@ class ViewFusionTransformer(nn.Module):
     @nn.compact
     def __call__(self, x):
         for i in range(self.depth):
-            y = nn.LayerNorm(name=f"norm_attn_{i}")(x)
+            # torch nn.LayerNorm eps (reference parity; flax default is 1e-6)
+            y = nn.LayerNorm(epsilon=1e-5, name=f"norm_attn_{i}")(x)
             x = x + _Attention(
                 self.dim, self.heads, self.dim_head, name=f"attn_{i}"
             )(y)
-            y = nn.LayerNorm(name=f"norm_ff_{i}")(x)
+            y = nn.LayerNorm(epsilon=1e-5, name=f"norm_ff_{i}")(x)
             x = x + _FeedForward(self.dim, self.mlp_dim, name=f"ff_{i}")(y)
         return x

@@ -10,6 +10,12 @@ tagged with sequence numbers; the consumer REORDERS completed items by
 sequence, so two identically-seeded runs consume the exact same item
 stream regardless of worker-thread races (torch's DataLoader makes the
 same guarantee).
+
+Multi-host: the default sampler implements ``DistributedSampler`` +
+``set_epoch`` semantics (ref run_nerf_batch.py:452-453,525-526) — every
+epoch a permutation seeded by (seed, epoch) identically on all hosts is
+sliced ``process_index::process_count``, so hosts consume disjoint items
+and reshuffle together each epoch.
 """
 
 from __future__ import annotations
@@ -39,14 +45,27 @@ class PrefetchLoader:
         num_workers: int = 2,
         prefetch: int = 4,
         sampler: Optional[Callable] = None,
+        process_index: Optional[int] = None,
+        process_count: Optional[int] = None,
     ):
         self.dataset = dataset
+        self.seed = seed
         self.rng = np.random.default_rng(seed)
         self.num_workers = num_workers
         self.prefetch = prefetch
-        self.sampler = sampler or (
-            lambda rng: int(rng.integers(len(dataset)))
-        )
+        if process_index is None or process_count is None:
+            try:
+                import jax
+
+                process_index = jax.process_index()
+                process_count = jax.process_count()
+            except Exception:
+                process_index, process_count = 0, 1
+        self.process_index = int(process_index)
+        self.process_count = max(1, int(process_count))
+        self._epoch = 0
+        self._epoch_indices: list = []
+        self.sampler = sampler or self._distributed_sampler
         self._queue: "queue.Queue" = queue.Queue(maxsize=max(1, prefetch))
         self._stop = threading.Event()
         self._index_lock = threading.Lock()
@@ -59,6 +78,22 @@ class PrefetchLoader:
                 t = threading.Thread(target=self._worker, daemon=True)
                 t.start()
                 self._threads.append(t)
+
+    def _distributed_sampler(self, rng) -> int:
+        """Next index of this host's slice of the current epoch permutation.
+
+        The permutation is seeded by (seed, epoch) — identical on every
+        host — then sliced per host; called under ``_index_lock``.
+        """
+        if not self._epoch_indices:
+            g = np.random.default_rng((self.seed, self._epoch))
+            perm = g.permutation(len(self.dataset))
+            sliced = perm[self.process_index::self.process_count]
+            if len(sliced) == 0:  # more hosts than items: fall back
+                sliced = perm
+            self._epoch_indices = list(sliced[::-1])  # pop() from the front
+            self._epoch += 1
+        return int(self._epoch_indices.pop())
 
     def _draw(self):
         with self._index_lock:

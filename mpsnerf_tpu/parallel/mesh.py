@@ -171,6 +171,114 @@ def make_batched_train_step(model, cfg, mesh: Mesh, smooth: bool = False):
     return jax.jit(sharded)
 
 
+class MeshTrainer:
+    """Host-side loop driver for multi-device training — the CLI-facing
+    DataParallel/DDP replacement (ref run_nerf_batch.py:344-350).
+
+    Items batch over the mesh ``data`` axis, rays shard over ``ray``;
+    parameters/optimizer state are replicated.  Mirrors
+    :class:`mpsnerf_tpu.train.trainer.Trainer`'s cadence: one optimizer
+    step per output view per item batch, two compiled variants for the
+    smooth-loss interval.
+    """
+
+    def __init__(self, model, cfg, variables, mesh: Mesh,
+                 start_step: int = 0):
+        from mpsnerf_tpu.train.trainer import create_train_state
+
+        self.model = model
+        self.cfg = cfg
+        self.mesh = mesh
+        self.data_size = mesh.shape[DATA_AXIS]
+        self.ray_size = mesh.shape[RAY_AXIS]
+        self.state = replicate_to_mesh(
+            create_train_state(model, variables, cfg, start_step), mesh
+        )
+        self._step_plain = make_batched_train_step(
+            model, cfg, mesh, smooth=False
+        )
+        self._step_smooth = (
+            make_batched_train_step(model, cfg, mesh, smooth=True)
+            if cfg.smooth_loss
+            else self._step_plain
+        )
+        self._rep = NamedSharding(mesh, P())
+        self._data = NamedSharding(mesh, P(DATA_AXIS))
+        self._data_ray = NamedSharding(mesh, P(DATA_AXIS, RAY_AXIS))
+
+    @property
+    def global_step(self) -> int:
+        return int(self.state.step)
+
+    def load_opt_state(self, opt_state) -> None:
+        self.state = self.state.replace(
+            opt_state=jax.device_put(opt_state, self._rep)
+        )
+
+    def _stack(self, trees):
+        return jax.tree.map(lambda *xs: jnp.stack(xs, axis=0), *trees)
+
+    def train_items(self, smpls, sps, tps, key) -> dict:
+        """One step per view over a batch of ``data_size`` loader items.
+
+        ``smpls``/``sps``/``tps``: length-``data_size`` lists (device
+        pytrees, e.g. from ``to_device_input``).  Returns averaged scalars
+        with the same keys as ``Trainer.train_item``.
+        """
+        assert len(sps) == self.data_size, (len(sps), self.data_size)
+        n_views = int(np.asarray(tps[0]["rgb_all"].shape[0]))
+        smpl_b = jax.device_put(
+            self._stack([jax.tree.map(jnp.asarray, s) for s in smpls]),
+            self._data,
+        )
+        sp_b = jax.device_put(self._stack(sps), self._data)
+        same = all(t is s for t, s in zip(tps, sps))
+        tp_b = sp_b if same else jax.device_put(self._stack(tps), self._data)
+
+        logs = []
+        for k in range(n_views):
+            step = self.global_step
+            smooth_now = (
+                self.cfg.smooth_loss
+                and step % self.cfg.smooth_interval == 0
+            )
+            fn = self._step_smooth if smooth_now else self._step_plain
+            key, *subs = jax.random.split(key, self.data_size + 1)
+            rays = [
+                jax.device_put(
+                    self._stack([t[name][k] for t in tps]), self._data_ray
+                )
+                for name in ("ray_o_all", "ray_d_all")
+            ]
+            nearfar = [
+                jax.device_put(
+                    self._stack([t[name][k][:, 0] for t in tps]),
+                    self._data_ray,
+                )
+                for name in ("near_all", "far_all")
+            ]
+            tgt = [
+                jax.device_put(
+                    self._stack([t[name][k] for t in tps]), self._data_ray
+                )
+                for name in ("rgb_all", "bkgd_msk_all")
+            ]
+            keys = jax.device_put(jnp.stack(subs), self._data)
+            self.state, terms, psnr = fn(
+                self.state, smpl_b, sp_b, tp_b, *rays, *nearfar, *tgt, keys
+            )
+            logs.append((terms, psnr))
+        mean = lambda xs: float(np.mean([float(x) for x in xs]))
+        return {
+            "loss": mean([t.total for t, _ in logs]),
+            "img_loss": mean([t.img for t, _ in logs]),
+            "acc_loss": mean([t.acc for t, _ in logs]),
+            "psnr": mean([p for _, p in logs]),
+            "normal_smooth_loss": mean([t.normal_smooth for t, _ in logs]),
+            "smpl_normal_loss": mean([t.smpl_normal for t, _ in logs]),
+        }
+
+
 def make_sharded_render(model, mesh: Mesh, n_samples: int, chunk: int = 0,
                         white_bkgd: bool = False):
     """Pod-scale inference: rays shard over the mesh, each device renders

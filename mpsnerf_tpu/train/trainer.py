@@ -294,6 +294,9 @@ class Trainer:
     def global_step(self) -> int:
         return int(self.state.step)
 
+    def load_opt_state(self, opt_state) -> None:
+        self.state = self.state.replace(opt_state=opt_state)
+
     def train_item(self, smpl: SMPLModel, sp_input, tp_input, key) -> Dict:
         """One loader item: V view-steps.  Returns averaged scalars."""
         n_views = int(np.asarray(tp_input["rgb_all"].shape[0]))

@@ -108,9 +108,39 @@ def main(argv=None):
             if args.resume_optimizer:
                 restored_opt = restored.opt_state
 
-    trainer = Trainer(model, cfg, variables, start_step=start)
+    # --- single-device vs mesh execution (ref DataParallel/DDP bootstrap,
+    # run_nerf_batch.py:344-350): --mesh_devices N shards rays over a
+    # device mesh; --batch_size B additionally batches B loader items over
+    # the mesh's data axis (one optimizer step per view per item batch)
+    data_size = max(1, args.batch_size)
+    n_mesh = args.mesh_devices or (
+        len(jax.devices()) if data_size > 1 else 0
+    )
+    use_mesh = n_mesh > 1 or data_size > 1
+    if use_mesh:
+        from mpsnerf_tpu.parallel.mesh import MeshTrainer, make_2d_mesh
+
+        n_mesh = max(n_mesh, data_size)
+        if n_mesh % data_size != 0:
+            raise ValueError(
+                f"--mesh_devices {n_mesh} not divisible by "
+                f"--batch_size {data_size}"
+            )
+        if len(jax.devices()) < n_mesh:
+            raise ValueError(
+                f"--mesh_devices {n_mesh} requested but only "
+                f"{len(jax.devices())} devices are visible"
+            )
+        mesh = make_2d_mesh(data_size, n_mesh // data_size)
+        print(
+            f"Mesh execution: {n_mesh} devices "
+            f"(data={data_size}, ray={n_mesh // data_size})"
+        )
+        trainer = MeshTrainer(model, cfg, variables, mesh, start_step=start)
+    else:
+        trainer = Trainer(model, cfg, variables, start_step=start)
     if restored_opt is not None:
-        trainer.state = trainer.state.replace(opt_state=restored_opt)
+        trainer.load_opt_state(restored_opt)
     writer = MetricWriter(basedir, expname)
 
     def smpl_selector(gender: int):
@@ -163,8 +193,7 @@ def main(argv=None):
     loader = PrefetchLoader(
         dataset, seed=args.seed, num_workers=min(args.num_worker, 4),
     )
-    while trainer.global_step < n_iters:
-        item = next(loader)
+    def prepare(item):
         if pair_mode:
             sp_item, tp_item = item["sp_input"], item["tp_input"]
         else:
@@ -176,12 +205,22 @@ def main(argv=None):
         smpl = smpl_models[int(sp_item["gender"])]
         sp = to_device_input(sp_item)
         tp = sp if not pair_mode else to_device_input(tp_item)
+        return smpl, sp, tp
 
+    while trainer.global_step < n_iters:
         key, sub = jax.random.split(key)
         # profile the second item (post-compile) when requested
         do_trace = profile_dir and len(running) == 1
         with trace_scope(profile_dir if do_trace else None):
-            logs = trainer.train_item(smpl, sp, tp, sub)
+            if use_mesh:
+                batch = [prepare(next(loader)) for _ in range(data_size)]
+                logs = trainer.train_items(
+                    [b[0] for b in batch], [b[1] for b in batch],
+                    [b[2] for b in batch], sub,
+                )
+            else:
+                smpl, sp, tp = prepare(next(loader))
+                logs = trainer.train_item(smpl, sp, tp, sub)
         running.append(logs)
         gs = trainer.global_step
 

@@ -61,6 +61,30 @@ class TestPrefetch:
         it = next(loader)
         assert "idx" in it
 
+    def test_per_host_sharding(self):
+        """DistributedSampler semantics: hosts draw disjoint slices of an
+        epoch permutation that is identical across hosts, and reshuffle
+        together each epoch (ref run_nerf_batch.py:452-453,525-526)."""
+        ds = SlowDataset(delay=0.0)
+
+        def host_stream(pi, pc, n):
+            loader = PrefetchLoader(
+                ds, seed=3, num_workers=0, process_index=pi, process_count=pc
+            )
+            return [next(loader)["idx"] for _ in range(n)]
+
+        h0 = host_stream(0, 2, 10)  # two full epochs of this host's slice
+        h1 = host_stream(1, 2, 10)
+        # within one epoch: disjoint, covering the dataset between them
+        assert set(h0[:5]).isdisjoint(h1[:5])
+        assert set(h0[:5]) | set(h1[:5]) == set(range(10))
+        # second epoch reshuffles (still a valid cover)
+        assert set(h0[5:]) | set(h1[5:]) == set(range(10))
+        # identical construction on both hosts -> same epoch permutations:
+        # interleaving the two slices reconstructs each epoch's permutation
+        single = host_stream(0, 1, 10)
+        assert sorted(single) == sorted(range(10))
+
     def test_error_propagates(self):
         class Bad:
             def __len__(self):

@@ -5,11 +5,24 @@ samples/ray, 3 input views at 512x512, full 6890-vertex SMPL — the
 reference's eval path (``lib/all_test.py:128-132`` prints per-image time on
 one GPU; the north star is >=3x an A100's rays/sec/chip on v5e).
 
-Baseline constant: the reference renders a 512x512x128 image in roughly
-20-30 s on an A100-class GPU (no number is published in-repo; estimate from
-the chunk-12000 render loop).  We take 262144/26s ~ 10,000 rays/s as the
-A100 reference and 3x that (30,000) as the parity bar, so
-``vs_baseline = rays_per_sec / 30000`` — >=1.0 meets the speed target.
+Baseline constant — derivation (the reference publishes no numbers, so we
+bound it by FLOP count at 100% A100 peak, which over-credits the reference
+and therefore under-states our multiple):
+
+  The reference's forward runs ``knn_points`` over ALL sample points
+  against the 6890 SMPL vertices before masking
+  (lib/skinnning_batch.py:357): 512x512 rays x 128 samples = 33.55M
+  points x 6890 verts x 8 FLOPs/distance = 1.85 PFLOP per image, in fp32
+  on CUDA cores (pytorch3d's kernel is not a tensor-core matmul).  At the
+  A100's 19.5 TFLOP/s fp32 peak that KNN alone takes >= 94.8 s/image,
+  capping the reference at <= 2,765 rays/s even at 100% efficiency with
+  every other op free (the 2 masked KNNs add ~0.2 PFLOP; MLP/transformer/
+  ResNet are <1% of the total even at TF32 rates).  We still grant the
+  reference 10,000 rays/s — a >3.6x allowance covering hypothetical
+  masked-ray configs (H36M-style, ~3x fewer points) and sub-6890 vertex
+  tricks it does not actually ship — and take 3x that (30,000) as the
+  parity bar, so ``vs_baseline = rays_per_sec / 30000`` >= 1.0 meets the
+  BASELINE.json speed target with margin to spare.
 
 Prints ONE JSON line:
   {"metric": "render_rays_per_sec_512x512x128", "value": N,
@@ -27,18 +40,28 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from mpsnerf_tpu.utils.compilation_cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from mpsnerf_tpu.data.synthetic import SyntheticHumanDataset
     from mpsnerf_tpu.models.mps_nerf import MPSNeRF
     from mpsnerf_tpu.renderer.render import render_rays
     from mpsnerf_tpu.train.trainer import to_device_input
     from mpsnerf_tpu.rays.rays import get_rays, get_near_far
 
+    import os
+
     H = W = 512
     N_SAMPLES = 128
     # small on-device chunks win: swept {128..8192}, 256 peaks (better
     # VMEM locality for the compacted tail; the lax.map loop amortizes)
-    CHUNK = 256
+    CHUNK = int(os.environ.get("MPSNERF_BENCH_CHUNK", "256"))
     N_INPUT_VIEWS = 3
+    # bf16 MLP/transformer matmuls are the TPU-native fast path; the
+    # deviation on composited pixels is < 1/255 (tests/test_bf16.py).
+    # Set MPSNERF_BENCH_DTYPE=float32 for the bit-parity configuration.
+    DTYPE = os.environ.get("MPSNERF_BENCH_DTYPE", "bfloat16")
 
     from mpsnerf_tpu.data import attach_body_grid
 
@@ -67,7 +90,9 @@ def main():
     # eval-scale compaction: ~6% of in-box samples lie within 5 cm of the
     # body at 512x512 (measured); rays are shuffled below so every chunk
     # sits near that mean and a 12.5% capacity never drops valid points
-    model = MPSNeRF(num_instances=1, compact_fraction=0.125)
+    model = MPSNeRF(
+        num_instances=1, compact_fraction=0.125, compute_dtype=DTYPE
+    )
     variables = jax.jit(model.init, static_argnames=("train",))(
         {"params": jax.random.PRNGKey(0)}, smpl, inp, inp,
         jnp.zeros((8, 3)), jnp.zeros((8, 3)), train=False,

@@ -111,6 +111,10 @@ def config_parser() -> argparse.ArgumentParser:
                    help="masked-point compaction capacity (1.0 = never drop)")
     p.add_argument("--mesh_devices", type=int, default=0,
                    help="shard rays over this many devices (0 = all)")
+    p.add_argument("--compute_dtype", type=str, default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="matmul compute dtype for the NeRF MLP/transformer "
+                        "(params and geometry stay float32)")
     p.add_argument("--debug_nans", type=int, default=0)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--resume_optimizer", type=int, default=0,

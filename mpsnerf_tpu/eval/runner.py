@@ -120,9 +120,30 @@ class ViewRenderer:
                 jax.random.PRNGKey(0), n_samples=n_samples_, perturb=0.0,
                 train=False, white_bkgd=white_,
             )
-            return out.rgb_map, out.acc_map
+            return out.rgb_map, out.acc_map, out.raw.n_dropped
 
         self._chunk_fn = chunk_fn
+
+        # overflow fallback: an uncompacted variant of the same chunk —
+        # exact reference semantics at any in-body density.  Compiled only
+        # if a chunk ever reports n_dropped > 0 (a close-up view can exceed
+        # the ~6%-in-body assumption behind eval_compact_fraction).
+        model_nc = (
+            model.clone(compact_fraction=None)
+            if model.compact_fraction is not None else model
+        )
+
+        @jax.jit
+        def chunk_fn_nc(variables, smpl, sp, tp, latent, ro, rd, nr, fr):
+            out = render_rays(
+                model_nc, variables, smpl, sp, tp, latent, ro, rd, nr, fr,
+                jax.random.PRNGKey(0), n_samples=n_samples_, perturb=0.0,
+                train=False, white_bkgd=white_,
+            )
+            return out.rgb_map, out.acc_map, out.raw.n_dropped
+
+        self._chunk_fn_nc = chunk_fn_nc
+        self.n_overflow_chunks = 0  # diagnostic counter across renders
 
         @jax.jit
         def encode_fn(variables, images):
@@ -153,6 +174,12 @@ class ViewRenderer:
             from mpsnerf_tpu.data import attach_body_grid
 
             attach_body_grid(tp_item)
+        if self.model.correction_field:
+            from mpsnerf_tpu.data import attach_spconv_plan
+
+            for it in (tp_item, sp_item):
+                if "spconv_plan" not in it and "coord" in it:
+                    attach_spconv_plan(it)
         skip = ("msk_all", "_latent_cache")
         sp = to_device_input(
             {kk: vv for kk, vv in sp_item.items() if kk not in skip}
@@ -189,13 +216,26 @@ class ViewRenderer:
         ro, rd, nr, fr = pad(ro), pad(rd), pad(nr), pad(fr)
         outs = []
         for i in range(0, n_pad, self.chunk):
-            rgb, _ = self._chunk_fn(
-                variables, smpl, sp, tp, latent,
+            block = (
                 jnp.asarray(ro[i:i + self.chunk]),
                 jnp.asarray(rd[i:i + self.chunk]),
                 jnp.asarray(nr[i:i + self.chunk]),
                 jnp.asarray(fr[i:i + self.chunk]),
             )
+            rgb, _, nd = self._chunk_fn(
+                variables, smpl, sp, tp, latent, *block
+            )
+            if int(nd) > 0:
+                # capacity overflow would silently zero valid samples —
+                # re-render this chunk uncompacted (exact semantics)
+                self.n_overflow_chunks += 1
+                print(
+                    f"[eval] compaction overflow ({int(nd)} pts) in chunk "
+                    f"{i // self.chunk}; re-rendering uncompacted"
+                )
+                rgb, _, _ = self._chunk_fn_nc(
+                    variables, smpl, sp, tp, latent, *block
+                )
             outs.append(np.asarray(rgb))
         rgb = np.concatenate(outs, axis=0)[:n]
 

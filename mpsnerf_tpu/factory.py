@@ -22,11 +22,28 @@ from mpsnerf_tpu.models.mps_nerf import MPSNeRF
 _MODEL_VARIANTS = {
     "skinning_batch": {},
     # CoarseBatch: pure LBS warp, no correction/skinning fields
+    # (lib/skinnning_batch.py:1292 — all deform fields commented out)
     "coarse_batch": {"correction_field": False, "skinning_field": False},
-    # CorrectionBatch: correction field on, no skinning field
-    "correction_batch": {"skinning_field": False},
-    # DirectDeform: skinning-weight field drives the deform directly
-    "direct_deform": {},
+    # CorrectionBatch (lib/skinnning_batch.py:883-1289): instance-style
+    # correction field — PE + poses + instance embedding + spconv feature
+    # (271 ch, D=4), with BOTH a forward correction on the canonical points
+    # (:1152-1165) and a backward correction on the source-pose points
+    # (:1176-1189); no skinning field (c2source gets weights_correction=0.)
+    "correction_batch": {
+        "correction_field": True,
+        "skinning_field": False,
+        "correction_style": "instance",
+    },
+    # DirectDeform (lib/skinnning_batch.py:517-880): the NeRF MLP takes the
+    # fused 2D feature ONLY — no positional encoding of the canonical pts
+    # (``x = point_2d_feature_1``, :832; nerf_input_ch=128(+27), :556).
+    # Its declared deform fields are unused in the forward
+    # (``weights_correction = 0.``, :795), so both stay off here.
+    "direct_deform": {
+        "correction_field": False,
+        "skinning_field": False,
+        "pe_condition": False,
+    },
     # CorrectionBatchBlend: blend sampled image rgb via predicted weights
     "correction_batch_blend": {"blend_rgb": True},
     # numpy-era correction models -> correction-field pipeline
@@ -57,6 +74,7 @@ def return_model(args: Any) -> MPSNeRF:
         skinning_field=bool(args.skinning_field),
         pair_mode=args.data_set_type in ("H36M_P", "THuman_P"),
         n_input_views=args.view_num,
+        compute_dtype=getattr(args, "compute_dtype", "float32"),
         compact_fraction=(
             args.compact_fraction
             if getattr(args, "compact_fraction", None) not in (None, 0)

@@ -25,11 +25,19 @@ def torch_linear_init(scale_by_fan_in: bool = True):
 
 
 class TorchLinear(nn.Module):
-    """nn.Dense with torch's default init (and a fan-in-correct bias)."""
+    """nn.Dense with torch's default init (and a fan-in-correct bias).
+
+    ``dtype`` is the COMPUTE dtype (params stay float32): with
+    ``jnp.bfloat16`` the matmul runs at the MXU's bf16 rate — inputs and
+    the kernel are cast on the fly, exactly flax's mixed-precision
+    convention.  ``None`` computes in the input dtype (fp32 paths stay
+    bit-identical to the pre-dtype revision).
+    """
 
     features: int
     use_bias: bool = True
     zero_init: bool = False
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x):
@@ -49,4 +57,6 @@ class TorchLinear(nn.Module):
             use_bias=self.use_bias,
             kernel_init=kernel_init,
             bias_init=bias_init,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
         )(x)

@@ -49,6 +49,7 @@ from mpsnerf_tpu.smpl.model import SMPLModel
 from mpsnerf_tpu.smpl.lbs import (
     PoseTransforms,
     world_to_smpl,
+    smpl_to_world,
     deform_target_to_canonical,
     deform_canonical_to_source,
 )
@@ -105,6 +106,28 @@ class MPSNeRF(nn.Module):
     mean_shape: bool = False
     correction_field: bool = False
     skinning_field: bool = False
+    # correction-field formulation:
+    #   "aggregate" — the flagship's PE + spconv-f3d + aggregated-2D input
+    #     (ref skinnning_batch.py:116, 374-391), forward correction only
+    #   "instance"  — CorrectionBatch's PE + poses(72) + instance-embed(128)
+    #     + spconv-f3d input (ref skinnning_batch.py:1081-1102), with BOTH a
+    #     forward correction on the canonical points (ref :1152-1165) and a
+    #     backward correction on the source-pose points (ref :1176-1189)
+    correction_style: str = "aggregate"
+    # DirectDeform (ref skinnning_batch.py:517-880) conditions the NeRF MLP
+    # on the fused 2D feature ONLY — no PE of the canonical points
+    # (``x = point_2d_feature_1``, ref :832; nerf_input_ch=128(+27), :556).
+    # Its declared skinning field is never used in the forward
+    # (``weights_correction = 0.``, ref :795), so the faithful mapping is
+    # pe_condition=False with both deform fields off.
+    pe_condition: bool = True
+    # compute dtype for the NeRF-MLP / transformer matmuls: "bfloat16"
+    # runs them at the MXU's bf16 rate.  Params, the LBS/projection
+    # geometry, LayerNorm statistics, and compositing all stay float32 —
+    # the reference runs fp32 end-to-end (AMP wired but disabled,
+    # run_nerf_batch.py:486), so "float32" is the parity default and
+    # tests/test_bf16.py bounds the bf16 deviation.
+    compute_dtype: str = "float32"
     encoder_layers: int = 2
     nerf_width: int = 256
     nerf_depth: int = 8
@@ -136,35 +159,47 @@ class MPSNeRF(nn.Module):
     cull_fraction: Optional[float] = None
 
     def setup(self):
+        cdt = jnp.bfloat16 if self.compute_dtype == "bfloat16" else None
         self.encoder_2d = SpatialEncoder(
             num_layers=self.encoder_layers, bn_axis_name=self.bn_axis_name
         )
         feat_ch = self.encoder_2d.latent_channels + (27 if self.append_rgb else 0)
         if self.use_transformer:
-            self.transformer = ViewFusionTransformer(dim=feat_ch)
+            self.transformer = ViewFusionTransformer(dim=feat_ch, dtype=cdt)
         self.latent_codes = nn.Embed(
             self.num_instances, 128,
             embedding_init=nn.initializers.normal(stddev=0.01),
         )
         if self.correction_field:
             self.encoder_3d = SparseConvNet3D()
+            # flagship: D=2 (ref :116); CorrectionBatch: D=4 (ref :890)
+            fwd_depth = 2 if self.correction_style == "aggregate" else 4
             self.forward_deform = DeformField(
-                depth=2, out_ch=3, deform_type="correction"
+                depth=fwd_depth, out_ch=3, deform_type="correction"
             )
+            if self.correction_style == "instance":
+                self.backward_correction = DeformField(
+                    depth=4, out_ch=3, deform_type="correction"
+                )
         if self.skinning_field:
             self.backward_deform = DeformField(
                 depth=4, out_ch=24, deform_type="weights"
             )
 
         self.pts_linears = [
-            TorchLinear(self.nerf_width, name=f"pts_linear_{i}")
+            TorchLinear(self.nerf_width, dtype=cdt, name=f"pts_linear_{i}")
             for i in range(self.nerf_depth)
         ]
-        self.alpha_linear = TorchLinear(1, name="alpha_linear")
-        self.feature_linear = TorchLinear(self.nerf_width, name="feature_linear")
-        self.views_linear = TorchLinear(self.nerf_width // 2, name="views_linear")
+        self.alpha_linear = TorchLinear(1, dtype=cdt, name="alpha_linear")
+        self.feature_linear = TorchLinear(
+            self.nerf_width, dtype=cdt, name="feature_linear"
+        )
+        self.views_linear = TorchLinear(
+            self.nerf_width // 2, dtype=cdt, name="views_linear"
+        )
         self.rgb_linear = TorchLinear(
-            self.n_input_views if self.blend_rgb else 3, name="rgb_linear"
+            self.n_input_views if self.blend_rgb else 3, dtype=cdt,
+            name="rgb_linear",
         )
 
     # ------------------------------------------------------------------
@@ -180,7 +215,15 @@ class MPSNeRF(nn.Module):
     # ------------------------------------------------------------------
 
     def _nerf_mlp(self, can_pts, f1, f2, viewdirs, rgb_samples=None):
-        x = jnp.concatenate([positional_encoding(can_pts, 6), f1], axis=-1)
+        if self.pe_condition:
+            x = jnp.concatenate([positional_encoding(can_pts, 6), f1], axis=-1)
+        else:
+            x = f1  # DirectDeform: 2D feature only (ref :832)
+        if self.compute_dtype == "bfloat16":
+            # one up-front cast keeps the skip concats (and thus every
+            # matmul input) in bf16 instead of promoting back to fp32
+            x = x.astype(jnp.bfloat16)
+            f2 = f2.astype(jnp.bfloat16)
         h = x
         for i, layer in enumerate(self.pts_linears):
             h = nn.relu(layer(h))
@@ -189,18 +232,22 @@ class MPSNeRF(nn.Module):
         alpha = self.alpha_linear(h)[..., 0]
         feature = self.feature_linear(h)
         if self.with_viewdirs:
-            vd = positional_encoding(viewdirs, 4)
+            vd = positional_encoding(viewdirs, 4).astype(feature.dtype)
             h = jnp.concatenate([feature, vd, f2], axis=-1)
         else:
             h = jnp.concatenate([feature, f2], axis=-1)
         h = nn.relu(self.views_linear(h))
         if self.blend_rgb:
-            # per-view blend weights over the sampled image rgb
-            w = nn.softmax(self.rgb_linear(h), axis=-1)  # (N, V)
+            # per-view blend weights over the sampled image rgb (fp32 —
+            # the convex blend must not quantize the image values)
+            w = nn.softmax(
+                self.rgb_linear(h).astype(jnp.float32), axis=-1
+            )  # (N, V)
             rgb = jnp.einsum("nv,vnc->nc", w, rgb_samples)
         else:
             rgb = self.rgb_linear(h)
-        return rgb, alpha
+        # compositing and losses run fp32 regardless of compute dtype
+        return rgb.astype(jnp.float32), alpha.astype(jnp.float32)
 
     def _view_features(self, sp_input, latent, world_src_pts, fuse=True):
         """Project points into each source view, gather pixel-aligned
@@ -394,33 +441,58 @@ class MPSNeRF(nn.Module):
                 tp_input["feature"], splan, norm_pts, train=train
             )  # (K, 32)
 
-            # aggregated pixel-aligned feature at the (detached) query pts
-            if self.pair_mode:
-                _, coarse_world_src, _ = deform_canonical_to_source(
-                    smpl, tf_s, coarse_can,
-                    nearest_vertex(
-                        jax.lax.stop_gradient(coarse_can),
-                        sp_input["t_vertices"],
-                    )[1],
-                    None, self.mean_shape,
+            if self.correction_style == "instance":
+                # CorrectionBatch formulation (ref skinnning_batch.py:
+                # 1081-1090, 1152-1165): PE + target poses + instance
+                # embedding + spconv feature, added to the canonical pts
+                k = q_pts.shape[0]
+                embed = self.latent_codes(
+                    tp_input["instance_idx"].astype(jnp.int32).reshape(())[None]
+                )[0]
+                fused = jnp.concatenate(
+                    [
+                        positional_encoding(q_pts, 6),
+                        jnp.broadcast_to(
+                            tp_params["poses"].reshape(1, 72), (k, 72)
+                        ),
+                        jnp.broadcast_to(embed, (k, 128)),
+                        p3d,
+                    ],
+                    axis=-1,
                 )
-                agg_pts = coarse_world_src
+                correction_c = self.forward_deform(fused)
+                coarse_can = coarse_can + correction_c
             else:
-                # world-space query points of the compacted set
-                agg_pts = jax.lax.stop_gradient(
-                    compact(cplan, world_pts) if cplan is not None
-                    else world_pts
+                # aggregated pixel-aligned feature at the (detached)
+                # query pts (flagship formulation, ref :374-391)
+                if self.pair_mode:
+                    _, coarse_world_src, _ = deform_canonical_to_source(
+                        smpl, tf_s, coarse_can,
+                        nearest_vertex(
+                            jax.lax.stop_gradient(coarse_can),
+                            sp_input["t_vertices"],
+                        )[1],
+                        None, self.mean_shape,
+                    )
+                    agg_pts = coarse_world_src
+                else:
+                    # world-space query points of the compacted set
+                    agg_pts = jax.lax.stop_gradient(
+                        compact(cplan, world_pts) if cplan is not None
+                        else world_pts
+                    )
+                agg = self._view_features(
+                    sp_input, latent, agg_pts, fuse=False
+                )  # (V, K, C); mean over views of the image channels only
+                agg = jnp.mean(
+                    agg[..., : self.encoder_2d.latent_channels], axis=0
                 )
-            agg = self._view_features(
-                sp_input, latent, agg_pts, fuse=False
-            )  # (V, K, C); mean over views of the image channels only
-            agg = jnp.mean(agg[..., : self.encoder_2d.latent_channels], axis=0)
 
-            fused = jnp.concatenate(
-                [positional_encoding(q_pts, 6), p3d, agg], axis=-1
-            )
-            correction_c = self.forward_deform(fused)
-            coarse_can = coarse_can + correction_c
+                fused = jnp.concatenate(
+                    [positional_encoding(q_pts, 6), p3d, agg], axis=-1
+                )
+                correction_c = self.forward_deform(fused)
+                coarse_can = coarse_can + correction_c
 
         # --- tail: everything downstream of the canonical points.  Wrapped
         # as a function of can_pts so the occupancy normal is one vjp call.
@@ -450,9 +522,50 @@ class MPSNeRF(nn.Module):
             smpl_src, world_src, bweights = deform_canonical_to_source(
                 smpl, tf_s, can_pts, vert_ids_c, weights_corr, self.mean_shape
             )
+            correction_b = jnp.zeros_like(smpl_src)
+            if (
+                self.correction_field
+                and self.correction_style == "instance"
+                and not geometry_only
+            ):
+                # CorrectionBatch's backward correction on the source-pose
+                # points (ref skinnning_batch.py:1176-1189): spconv features
+                # from the SOURCE posed voxel grid at the (detached) warped
+                # points; the corrected smpl_src re-projects to world with
+                # the source global transform
+                sbounds = sp_input["bounds"]
+                s_center = 0.5 * (sbounds[0] + sbounds[1])
+                s_half = 0.5 * (sbounds[1] - sbounds[0])
+                p3d_s = self.encoder_3d(
+                    sp_input["feature"], sp_input["spconv_plan"],
+                    jax.lax.stop_gradient((smpl_src - s_center) / s_half),
+                    train=train,
+                )
+                ks = smpl_src.shape[0]
+                embed_s = self.latent_codes(
+                    sp_input["instance_idx"].astype(jnp.int32).reshape(())[
+                        None
+                    ]
+                )[0]
+                fused_b = jnp.concatenate(
+                    [
+                        positional_encoding(smpl_src, 6),
+                        jnp.broadcast_to(
+                            sp_params["poses"].reshape(1, 72), (ks, 72)
+                        ),
+                        jnp.broadcast_to(embed_s, (ks, 128)),
+                        p3d_s,
+                    ],
+                    axis=-1,
+                )
+                correction_b = self.backward_correction(fused_b)
+                smpl_src = smpl_src + correction_b
+                world_src = smpl_to_world(smpl_src, tf_s.R, tf_s.Th)
             f1, f2, rgb_s = self._view_features(sp_input, latent, world_src)
             rgb, alpha = self._nerf_mlp(can_pts, f1, f2, q_vd, rgb_s)
-            return alpha, (rgb, smpl_src, world_src, bweights, vert_ids_c)
+            return alpha, (
+                rgb, smpl_src, world_src, bweights, vert_ids_c, correction_b
+            )
 
         if compute_normals:
             alpha, vjp_fn, aux = jax.vjp(tail, coarse_can, has_aux=True)
@@ -470,12 +583,12 @@ class MPSNeRF(nn.Module):
             valid = jax.lax.stop_gradient(n2 > 1e-8)
             denom = jnp.sqrt(jnp.where(valid, n2, 1.0))
             occ_normal = jnp.where(valid, occ_normal / denom, 0.0)
-            rgb, smpl_src, world_src, bweights, vert_ids_c = aux
+            rgb, smpl_src, world_src, bweights, vert_ids_c, corr_b = aux
             t_normals = vertex_normals(t_vertices, smpl.faces)
             nearest_smpl_normal = t_normals[vert_ids_c]
         else:
             alpha, aux = tail(coarse_can)
-            rgb, smpl_src, world_src, bweights, vert_ids_c = aux
+            rgb, smpl_src, world_src, bweights, vert_ids_c, corr_b = aux
             k = coarse_can.shape[0]
             occ_normal = jnp.zeros((k, 3), world_pts.dtype)
             nearest_smpl_normal = jnp.zeros((k, 3), world_pts.dtype)
@@ -494,8 +607,10 @@ class MPSNeRF(nn.Module):
             occ_normal = expand(cplan, occ_normal, 0.0)
             nearest_smpl_normal = expand(cplan, nearest_smpl_normal, 0.0)
             correction = expand(cplan, correction_c, 0.0)
+            correction_b_full = expand(cplan, corr_b, 0.0)
         else:
             correction = correction_c
+            correction_b_full = corr_b
 
         # --- mask fill (ref: raw[pts_mask==0] = -80)
         maskf = pts_mask.astype(rgb.dtype)[:, None]
@@ -510,7 +625,7 @@ class MPSNeRF(nn.Module):
             sigma=sigma_out,
             pts_mask=pts_mask,
             correction=zmask(correction),
-            correction_=jnp.zeros((n, 3), world_pts.dtype),
+            correction_=zmask(correction_b_full),
             smpl_query_pts=zmask(smpl_query_pts),
             smpl_src_pts=zmask(smpl_src),
             occ_normal=zmask(occ_normal),

@@ -31,12 +31,15 @@ class _Attention(nn.Module):
     dim: int
     heads: int = 4
     dim_head: int = 64
+    dtype: object = None  # compute dtype (params stay fp32)
 
     @nn.compact
     def __call__(self, x):  # x: (V, N, D)
         v_views, n, _ = x.shape
         inner = self.heads * self.dim_head
-        qkv = TorchLinear(inner * 3, use_bias=False, name="to_qkv")(x)
+        qkv = TorchLinear(
+            inner * 3, use_bias=False, dtype=self.dtype, name="to_qkv"
+        )(x)
         scale = self.dim_head ** -0.5
 
         # per-view slices, kept (N, inner)
@@ -69,21 +72,22 @@ class _Attention(nn.Module):
             outs.append(jnp.concatenate(head_outs, axis=-1))  # (N, inner)
         out = jnp.stack(outs, axis=0)  # (V, N, inner)
         if not (self.heads == 1 and self.dim_head == self.dim):
-            out = TorchLinear(self.dim, name="to_out")(out)
+            out = TorchLinear(self.dim, dtype=self.dtype, name="to_out")(out)
         return out
 
 
 class _FeedForward(nn.Module):
     dim: int
     hidden_dim: int
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x):
-        x = TorchLinear(self.hidden_dim, name="fc1")(x)
+        x = TorchLinear(self.hidden_dim, dtype=self.dtype, name="fc1")(x)
         # exact (erf) GELU — torch nn.GELU default; flax defaults to the
         # tanh approximation, which differs by up to ~1e-3
         x = nn.gelu(x, approximate=False)
-        return TorchLinear(self.dim, name="fc2")(x)
+        return TorchLinear(self.dim, dtype=self.dtype, name="fc2")(x)
 
 
 class ViewFusionTransformer(nn.Module):
@@ -98,15 +102,23 @@ class ViewFusionTransformer(nn.Module):
     heads: int = 4
     dim_head: int = 64
     mlp_dim: int = 128
+    dtype: object = None  # compute dtype; LayerNorm stats stay fp32
 
     @nn.compact
     def __call__(self, x):
         for i in range(self.depth):
             # torch nn.LayerNorm eps (reference parity; flax default is 1e-6)
-            y = nn.LayerNorm(epsilon=1e-5, name=f"norm_attn_{i}")(x)
+            y = nn.LayerNorm(
+                epsilon=1e-5, dtype=self.dtype, name=f"norm_attn_{i}"
+            )(x)
             x = x + _Attention(
-                self.dim, self.heads, self.dim_head, name=f"attn_{i}"
+                self.dim, self.heads, self.dim_head, dtype=self.dtype,
+                name=f"attn_{i}",
             )(y)
-            y = nn.LayerNorm(epsilon=1e-5, name=f"norm_ff_{i}")(x)
-            x = x + _FeedForward(self.dim, self.mlp_dim, name=f"ff_{i}")(y)
+            y = nn.LayerNorm(
+                epsilon=1e-5, dtype=self.dtype, name=f"norm_ff_{i}"
+            )(x)
+            x = x + _FeedForward(
+                self.dim, self.mlp_dim, dtype=self.dtype, name=f"ff_{i}"
+            )(y)
         return x

@@ -36,6 +36,10 @@ def main(argv=None):
     if args.debug_nans:
         jax.config.update("jax_debug_nans", True)
 
+    from mpsnerf_tpu.utils.compilation_cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     print_args(args)
     basedir, expname = args.basedir, args.expname or "exp"
     dump_args(args, basedir, expname)
@@ -56,13 +60,18 @@ def main(argv=None):
     smpl_models = load_smpl_models()
     pair_mode = args.data_set_type in ("H36M_P", "THuman_P")
 
-    # --- init params from one example item
+    # --- init params from one example item.  The spconv gather tables are
+    # keyed off the MODEL's correction_field (variant mappings like
+    # correction_batch force it on regardless of the flag)
     first = dataset[0]
     sp0 = first["sp_input"] if pair_mode else first
-    if args.correction_field:
+    if model.correction_field:
         from mpsnerf_tpu.data import attach_spconv_plan
 
         attach_spconv_plan(sp0)
+        tp0 = first["tp_input"] if pair_mode else sp0
+        if tp0 is not sp0:
+            attach_spconv_plan(tp0)
     inp0 = to_device_input(sp0)
     smpl0 = smpl_models[int(sp0["gender"])]
     key, sub = jax.random.split(key)
@@ -80,7 +89,9 @@ def main(argv=None):
         perturb=args.perturb,
         occupancy=bool(args.occupancy),
         white_bkgd=args.white_bkgd,
-        acc_loss=bool(args.acc_loss),
+        # half_acc disables the acc loss outright in the reference
+        # (run_nerf_batch.py:552: ``acc_loss and (not half_acc)``)
+        acc_loss=bool(args.acc_loss) and not bool(args.half_acc),
         correction_loss=bool(args.correction_loss),
         consistency_loss=bool(args.consistency_loss),
         density_loss=bool(args.density_loss),
@@ -167,8 +178,23 @@ def main(argv=None):
             return eval_runner.run_h36m_eval(
                 args, model, vv, smpl_selector, savedir
             )
-        raise NotImplementedError(
-            f"eval protocol for {args.data_set_type} not wired yet"
+        # every other data_set_type falls back to the reference's inline
+        # ``test`` (run_nerf_batch.py:620-647 routes remaining types to
+        # ``test``, :138-298): a small test-split dataset window, views
+        # every 12, first item as source
+        import argparse
+
+        ratio = args.image_scaling or 1.0
+        targs = argparse.Namespace(**vars(args))
+        targs.start, targs.interval, targs.poses_num = 13, 1, 2
+        test_set = return_dataset(targs, split=args.test_split)
+        items = [test_set[i] for i in range(min(len(test_set), 2))]
+        if items and isinstance(items[0], dict) and "sp_input" in items[0]:
+            items = [it["tp_input"] for it in items]
+        H = W = int(512 * ratio)
+        return eval_runner.run_legacy_test(
+            args, model, vv, smpl_selector, savedir, items,
+            H=H, W=W, data_interval=1, start_pose=13,
         )
 
     # --- eval-only mode (ref run_nerf_batch.py:499-519)
@@ -198,10 +224,14 @@ def main(argv=None):
             sp_item, tp_item = item["sp_input"], item["tp_input"]
         else:
             sp_item = tp_item = item
-        if args.correction_field:
+        if model.correction_field:
             from mpsnerf_tpu.data import attach_spconv_plan
 
             attach_spconv_plan(tp_item)
+            if sp_item is not tp_item:
+                # the instance-style (CorrectionBatch) backward correction
+                # samples the SOURCE pose's voxel grid
+                attach_spconv_plan(sp_item)
         smpl = smpl_models[int(sp_item["gender"])]
         sp = to_device_input(sp_item)
         tp = sp if not pair_mode else to_device_input(tp_item)

@@ -58,6 +58,30 @@ class TestViewRenderer:
             out_masked[mask], out_full[mask], atol=1e-5
         )
 
+    def test_overflow_guard_falls_back_uncompacted(self, setup):
+        """A capacity far below the view's in-body fraction (a 'close-up'
+        in miniature) must trip the n_dropped guard and re-render the
+        overflowing chunks uncompacted — the result has to match an
+        uncompacted reference render, not silently drop samples."""
+        ds, items, smpl, model, variables = setup
+        k = 1
+        # 512 rays x 32 samples = 16384 pts/chunk vs the 1024-pt capacity
+        # floor: any chunk with >6.25% in-body samples overflows
+        r_tight = ViewRenderer(
+            model, lambda g: smpl, chunk=512, n_samples=32,
+            eval_compact_fraction=1e-6,  # floor cap (1024 pts) << valid pts
+            shuffle_rays=False,          # body-dense chunks stay dense
+        )
+        r_exact = ViewRenderer(
+            model.clone(compact_fraction=None), lambda g: smpl,
+            chunk=512, n_samples=32,
+            eval_compact_fraction=None, shuffle_rays=False,
+        )
+        out_tight = r_tight.render_view(variables, items[0], items[0], k)
+        assert r_tight.n_overflow_chunks > 0
+        out_exact = r_exact.render_view(variables, items[0], items[0], k)
+        np.testing.assert_allclose(out_tight, out_exact, atol=1e-5)
+
     def test_latent_cache_per_item(self, setup):
         """Different source items must not share cached latents."""
         ds, items, smpl, model, variables = setup

@@ -1,0 +1,104 @@
+"""Pair-mode (THuman_P/H36M_P-style) end-to-end training proof.
+
+Trains the flagship model in pair mode on the synthetic scene — source
+pose != target pose half the time, matching the Pair datasets' 50%
+same-pose sampling (ref THuman_dataset.py:725-733) — on the real chip and
+records the PSNR progression to ``artifacts/pair_train_proof.json``.
+
+The pair-specific machinery exercised end-to-end:
+  * extended_img2mse: the image loss is gated on pose_index equality
+    (ref run_nerf_batch.py:551 / lib/run_nerf_helpers.py:22-29)
+  * pair_mode aggregation in the correction field (agg features sampled
+    at the coarse source-warped points, ref skinnning_batch.py:378-382)
+
+Run: PYTHONPATH=. python tools/pair_train_proof.py
+"""
+
+import json
+import os
+import time
+import warnings
+
+warnings.filterwarnings("ignore")
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from mpsnerf_tpu.data.synthetic import SyntheticHumanDataset
+from mpsnerf_tpu.data import attach_spconv_plan
+from mpsnerf_tpu.models.mps_nerf import MPSNeRF
+from mpsnerf_tpu.train.trainer import Trainer, TrainConfig, to_device_input
+
+SIZE = 256
+N_STEPS_ITEMS = 60  # loader items (x n_views optimizer steps each)
+
+ds = SyntheticHumanDataset(
+    n_poses=2, n_cameras=6, image_size=SIZE, n_rays=512, n_verts=6890,
+    num_instances=1, input_views=[0, 2, 4], split="train", seed=3,
+)
+smpl = ds.smpl_for(0)
+raw_items = [ds.get_item(i, instance_idx=0) for i in range(2)]
+for it in raw_items:
+    attach_spconv_plan(it)
+items = [to_device_input(it) for it in raw_items]
+
+model = MPSNeRF(
+    num_instances=1, compact_fraction=0.5, pair_mode=True,
+    correction_field=True,  # exercises the pair-mode agg-feature path
+)
+variables = jax.jit(model.init, static_argnames=("train",))(
+    {"params": jax.random.PRNGKey(0)}, smpl, items[0], items[1],
+    jnp.zeros((8, 3)), jnp.zeros((8, 3)), train=False,
+)
+cfg = TrainConfig(
+    n_samples=64, smooth_loss=False, decay_steps=30000, pair_mode=True,
+    correction_loss=True,
+)
+trainer = Trainer(model, cfg, variables)
+
+rng = np.random.default_rng(0)
+key = jax.random.PRNGKey(1)
+history = []
+t0 = time.time()
+for i in range(N_STEPS_ITEMS):
+    # 50% same-pose pairs, like the Pair datasets
+    sp_idx = int(rng.integers(2))
+    tp_idx = sp_idx if rng.random() < 0.5 else 1 - sp_idx
+    key, sub = jax.random.split(key)
+    logs = trainer.train_item(smpl, items[sp_idx], items[tp_idx], sub)
+    same = sp_idx == tp_idx
+    history.append(
+        {"item": i, "same_pose": same, "loss": logs["loss"],
+         "psnr": logs["psnr"]}
+    )
+    if i % 10 == 0:
+        print(f"item {i:3d} same_pose={same} loss={logs['loss']:.4f} "
+              f"psnr={logs['psnr']:.2f}")
+
+wall = time.time() - t0
+first = np.mean([h["psnr"] for h in history[:5]])
+last = np.mean([h["psnr"] for h in history[-5:]])
+# cross-pose items only (the pair-specific learning signal)
+cross = [h for h in history if not h["same_pose"]]
+cross_first = np.mean([h["psnr"] for h in cross[: max(3, len(cross) // 4)]])
+cross_last = np.mean([h["psnr"] for h in cross[-max(3, len(cross) // 4):]])
+
+out = {
+    "mode": "pair (sp != tp half the time), correction_field on",
+    "items": N_STEPS_ITEMS,
+    "view_steps": trainer.global_step,
+    "wall_s": round(wall, 1),
+    "psnr_first5": round(float(first), 3),
+    "psnr_last5": round(float(last), 3),
+    "cross_pose_psnr_first_quarter": round(float(cross_first), 3),
+    "cross_pose_psnr_last_quarter": round(float(cross_last), 3),
+    "history": history,
+}
+os.makedirs("artifacts", exist_ok=True)
+with open("artifacts/pair_train_proof.json", "w") as f:
+    json.dump(out, f, indent=1)
+print(json.dumps({k: v for k, v in out.items() if k != "history"},
+                 indent=1))
+assert last > first + 1.0, "pair training did not improve PSNR"
+print("pair-mode training proof OK")

@@ -87,11 +87,29 @@ def main():
     near_all[hit] = near
     far_all[hit] = far
 
-    # eval-scale compaction: ~6% of in-box samples lie within 5 cm of the
-    # body at 512x512 (measured); rays are shuffled below so every chunk
-    # sits near that mean and a 12.5% capacity never drops valid points
+    # box cull: rays that miss the SMPL AABB provably composite to the
+    # exact background (every sample fails the 5 cm mask -> raw = -80 ->
+    # alpha ~ 0 -> rgb_map = 0), so only AABB-hit rays run the pipeline —
+    # the same pre-masking the reference itself applies on H36M
+    # (all_test.py:384-387).  The output image is identical; the metric
+    # stays full-image rays / wall time.
+    BOX_CULL = os.environ.get("MPSNERF_BENCH_CULL", "1") == "1"
+    n_img_rays = ray_o.shape[0]
+    if BOX_CULL:
+        sel = np.flatnonzero(hit)
+    else:
+        sel = np.arange(n_img_rays)
+    hit_frac = len(sel) / n_img_rays
+
+    # compaction capacity: ~6% of ALL image samples lie within 5 cm of
+    # the body at 512x512 (measured).  Culling concentrates the valid
+    # samples into the hit rays, so the per-chunk valid fraction scales
+    # by 1/hit_frac; rays are shuffled below so every chunk sits near
+    # that mean, and ~2x headroom never drops points.
+    frac = min(0.5, max(0.125, 2.0 * 0.06 / hit_frac))
+    cf = float(os.environ.get("MPSNERF_BENCH_COMPACT", frac))
     model = MPSNeRF(
-        num_instances=1, compact_fraction=0.125, compute_dtype=DTYPE
+        num_instances=1, compact_fraction=cf, compute_dtype=DTYPE
     )
     variables = jax.jit(model.init, static_argnames=("train",))(
         {"params": jax.random.PRNGKey(0)}, smpl, inp, inp,
@@ -109,18 +127,21 @@ def main():
         return render_rays_mapped(
             model, variables, smpl, inp, inp, latent, ro, rd, nr, fr,
             key, chunk=CHUNK, n_samples=N_SAMPLES, perturb=0.0, train=False,
+            with_dropped=True,
         )
 
-    n_rays = ray_o.shape[0]
+    n_rays = len(sel)
     n_pad = ((n_rays + CHUNK - 1) // CHUNK) * CHUNK
 
     def pad(x):
+        x = x[sel]
         return np.concatenate([x, np.zeros((n_pad - len(x),) + x.shape[1:],
                                            x.dtype)])
 
     # shuffle rays so per-chunk in-body fractions equal the image mean
     # (contiguous body chunks would overflow the compaction capacity)
     perm = np.random.default_rng(0).permutation(n_pad)
+    inv_perm = np.argsort(perm)
     ro = jnp.asarray(pad(ray_o)[perm])
     rd = jnp.asarray(pad(ray_d)[perm])
     nr = jnp.asarray(pad(near_all)[perm])
@@ -133,9 +154,19 @@ def main():
         # returns before execution completes — only a host transfer of the
         # result is a true synchronization point (and users fetch images
         # anyway, so the transfer belongs in the measurement)
-        return np.asarray(out[0])
+        rgb = np.asarray(out[0])
+        # assemble the FULL image (unshuffle + scatter into background) —
+        # part of the work a user's render pays, so part of the timing
+        img = np.zeros((n_img_rays, 3), np.float32)
+        img[sel] = rgb[inv_perm][:n_rays]
+        return img, out[3]
 
-    render_full()  # warm-up / compile
+    _, n_dropped = render_full()  # warm-up / compile
+    # the measured image must be exact: no compacted point dropped
+    assert int(n_dropped) == 0, (
+        f"compaction overflow ({int(n_dropped)} pts) — raise "
+        f"MPSNERF_BENCH_COMPACT above {cf}"
+    )
 
     n_images = 3
     t0 = time.time()
@@ -143,7 +174,7 @@ def main():
         outs = render_full()
     dt = (time.time() - t0) / n_images
 
-    rays_per_sec = n_rays / dt
+    rays_per_sec = n_img_rays / dt
     print(
         json.dumps(
             {
@@ -151,6 +182,10 @@ def main():
                 "value": round(rays_per_sec, 1),
                 "unit": "rays/s/chip",
                 "vs_baseline": round(rays_per_sec / 30000.0, 3),
+                "hit_rays": int(n_rays),
+                "compute_dtype": DTYPE,
+                "chunk": CHUNK,
+                "compact_fraction": round(cf, 4),
             }
         )
     )

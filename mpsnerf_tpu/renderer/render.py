@@ -117,13 +117,16 @@ def render_rays_mapped(
     key: jax.Array,
     chunk: int,
     n_samples: int,
+    with_dropped: bool = False,
     **kwargs,
 ):
     """Render many rays with an ON-DEVICE ``lax.map`` over fixed-size
     chunks — one dispatch for a whole image instead of one per chunk
     (the reference's host-side ``batchify_rays`` loop, and our own
     ``render_image``, pay a host round-trip per chunk; over a remote
-    tunnel that dominates).  Returns (rgb (N, 3), disp (N,), acc (N,))."""
+    tunnel that dominates).  Returns (rgb (N, 3), disp (N,), acc (N,));
+    with ``with_dropped`` a 4th element gives the max per-chunk
+    compaction overflow (0 = no valid point was dropped anywhere)."""
     n = rays_o.shape[0]
     assert n % chunk == 0, (n, chunk)
     c = n // chunk
@@ -136,9 +139,9 @@ def render_rays_mapped(
             jax.random.fold_in(key, idx),  # per-chunk keys: shared jitter
             n_samples, **kwargs,           # would band at chunk boundaries
         )
-        return out.rgb_map, out.disp_map, out.acc_map
+        return out.rgb_map, out.disp_map, out.acc_map, out.raw.n_dropped
 
-    rgb, disp, acc = jax.lax.map(
+    rgb, disp, acc, nd = jax.lax.map(
         one,
         (
             rays_o.reshape(c, chunk, 3),
@@ -148,7 +151,10 @@ def render_rays_mapped(
             jnp.arange(c, dtype=jnp.int32),
         ),
     )
-    return rgb.reshape(n, 3), disp.reshape(n), acc.reshape(n)
+    outs = (rgb.reshape(n, 3), disp.reshape(n), acc.reshape(n))
+    if with_dropped:
+        return outs + (jnp.max(nd),)
+    return outs
 
 
 def render_image(

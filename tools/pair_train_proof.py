@@ -77,22 +77,27 @@ for i in range(N_STEPS_ITEMS):
               f"psnr={logs['psnr']:.2f}")
 
 wall = time.time() - t0
-first = np.mean([h["psnr"] for h in history[:5]])
-last = np.mean([h["psnr"] for h in history[-5:]])
-# cross-pose items only (the pair-specific learning signal)
-cross = [h for h in history if not h["same_pose"]]
-cross_first = np.mean([h["psnr"] for h in cross[: max(3, len(cross) // 4)]])
-cross_last = np.mean([h["psnr"] for h in cross[-max(3, len(cross) // 4):]])
+# the image loss (and so PSNR) only applies on same-pose pairs — the
+# reference's extended_img2mse returns 0 when pose indices differ
+# (lib/run_nerf_helpers.py:22-30), so cross-pose items report the
+# PSNR cap.  The learning signal is the same-pose progression; the
+# cross-pose items exercise the pair-specific loss gating + the
+# pair-mode correction-field aggregation path end-to-end.
+same = [h for h in history if h["same_pose"]]
+q = max(3, len(same) // 4)
+first = np.mean([h["psnr"] for h in same[:q]])
+last = np.mean([h["psnr"] for h in same[-q:]])
+cross_losses = [h["loss"] for h in history if not h["same_pose"]]
 
 out = {
     "mode": "pair (sp != tp half the time), correction_field on",
     "items": N_STEPS_ITEMS,
     "view_steps": trainer.global_step,
     "wall_s": round(wall, 1),
-    "psnr_first5": round(float(first), 3),
-    "psnr_last5": round(float(last), 3),
-    "cross_pose_psnr_first_quarter": round(float(cross_first), 3),
-    "cross_pose_psnr_last_quarter": round(float(cross_last), 3),
+    "same_pose_psnr_first_quarter": round(float(first), 3),
+    "same_pose_psnr_last_quarter": round(float(last), 3),
+    "cross_pose_items": len(cross_losses),
+    "cross_pose_loss_last": round(float(cross_losses[-1]), 4),
     "history": history,
 }
 os.makedirs("artifacts", exist_ok=True)
@@ -101,4 +106,5 @@ with open("artifacts/pair_train_proof.json", "w") as f:
 print(json.dumps({k: v for k, v in out.items() if k != "history"},
                  indent=1))
 assert last > first + 1.0, "pair training did not improve PSNR"
+assert len(cross_losses) > 0 and np.isfinite(cross_losses).all()
 print("pair-mode training proof OK")

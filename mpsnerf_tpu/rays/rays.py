@@ -141,10 +141,12 @@ def sample_rays_batch(
     with resample-until-N (always returns exactly ``n_rays``).  Test: every
     pixel, with near/far scattered into full-image arrays.
 
-    Equivalent to ``sample_ray_THuman_batch`` (if_nerf_data_utils.py:632-735)
-    with one fixed-shape deviation: the reference could return slightly more
-    than ``n_rays`` rays on the last resample round; we truncate to exactly
-    ``n_rays`` so device pytrees are static.
+    Equivalent to ``sample_ray_THuman_batch`` (if_nerf_data_utils.py:632-735).
+    Like the reference, each round draws exactly the remaining budget and
+    keeps only box-hit rays, so the accumulated total lands on exactly
+    ``n_rays`` — the final ``[:n_rays]`` is a shape safeguard that never
+    drops a ray (pinned by tests/test_rays.py), so there is no
+    body-vs-background truncation bias.
     """
     if rng is None:
         rng = np.random.default_rng()

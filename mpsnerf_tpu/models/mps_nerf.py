@@ -42,7 +42,10 @@ from mpsnerf_tpu.models.transformer import ViewFusionTransformer
 from mpsnerf_tpu.models.deform import DeformField
 from mpsnerf_tpu.models.sparse_conv import SparseConvNet3D
 from mpsnerf_tpu.ops.positional import positional_encoding
-from mpsnerf_tpu.ops.grid_sample import index_features, grid_sample_2d
+from mpsnerf_tpu.ops.grid_sample import (
+    index_features_patch,
+    grid_sample_2d_patch,
+)
 from mpsnerf_tpu.ops.knn import nearest_vertex
 from mpsnerf_tpu.ops.composite import wide_sigmoid
 from mpsnerf_tpu.smpl.model import SMPLModel
@@ -269,14 +272,18 @@ class MPSNeRF(nn.Module):
             uv = pix[..., :2] / (pix[..., 2:] + 1e-5)  # (V, N, 2)
 
         with jax.named_scope("encoder_index"):
-            feats = index_features(latent, uv, image_size)  # (V, C, N)
+            # patch-gather fast path: one (2,2,C) gather per point instead
+            # of four corner gathers (bit-identical; ops/grid_sample.py)
+            feats = index_features_patch(latent, uv, image_size)  # (V, C, N)
             feats = feats.transpose(0, 2, 1)  # (V, N, C)
 
         rgb_s = None
         if self.append_rgb or self.blend_rgb:
             size = jnp.asarray(image_size, uv.dtype)
             coords = 2.0 * uv / size - 1.0
-            rgb_s = grid_sample_2d(img_all, coords).transpose(0, 2, 1)  # (V,N,3)
+            rgb_s = grid_sample_2d_patch(
+                img_all, coords
+            ).transpose(0, 2, 1)  # (V, N, 3)
         if self.append_rgb:
             rgb_pe = positional_encoding(rgb_s, 4)  # (V, N, 27)
             feats = jnp.concatenate([feats, rgb_pe], axis=-1)

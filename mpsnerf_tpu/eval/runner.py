@@ -96,6 +96,8 @@ class ViewRenderer:
         white_bkgd: bool = False,
         eval_compact_fraction: float = 0.125,
         shuffle_rays: bool = True,
+        global_compact: bool = True,
+        tile: int = 16384,
     ):
         if (
             eval_compact_fraction is not None
@@ -152,6 +154,64 @@ class ViewRenderer:
 
         self._encode_fn = encode_fn
 
+        # ---- global-compaction whole-image path (render_rays_compact):
+        # one conservative body-grid cull + ONE compaction over every
+        # sample of the view, tail tiled over the compacted buffer — no
+        # per-chunk capacity variance, no per-chunk host round-trips.
+        # Capacity is chosen per view from a candidate-count pre-pass and
+        # bucketed geometrically (~1.26x steps) so recompiles stay rare;
+        # overflow (n_dropped > 0) bumps the bucket and re-renders, so
+        # results are ALWAYS exact.
+        self.global_compact = global_compact
+        self.tile = tile
+
+        if global_compact:
+            import functools
+
+            from mpsnerf_tpu.renderer.render import render_rays_compact
+            from mpsnerf_tpu.ops.body_grid import grid_lookup
+            from mpsnerf_tpu.ops.composite import stratified_z_vals
+            from mpsnerf_tpu.smpl.lbs import PoseTransforms, world_to_smpl
+
+            @functools.partial(
+                jax.jit, static_argnames=("capacity", "tile_")
+            )
+            def global_fn(variables, smpl, sp, tp, latent, ro, rd, nr, fr,
+                          capacity, tile_):
+                return render_rays_compact(
+                    model_, variables, smpl, sp, tp, latent,
+                    ro, rd, nr, fr, jax.random.PRNGKey(0),
+                    n_samples=n_samples_, capacity=capacity, tile=tile_,
+                    perturb=0.0, train=False, white_bkgd=white_,
+                )
+
+            @jax.jit
+            def count_fn(smpl, tp, ro, rd, nr, fr):
+                z = stratified_z_vals(
+                    jax.random.PRNGKey(0), nr[:, None], fr[:, None],
+                    n_samples_, 0.0,
+                )
+                p = (
+                    ro[:, None, :] + rd[:, None, :] * z[..., None]
+                ).reshape(-1, 3)
+                tf_t = PoseTransforms.create(smpl, tp["params"])
+                q = world_to_smpl(p, tf_t.R, tf_t.Th)
+                return jnp.sum(
+                    grid_lookup(tp["body_grid"], q).astype(jnp.int32)
+                )
+
+            self._global_fn = global_fn
+            self._count_fn = count_fn
+
+    def _capacity_bucket(self, count: int) -> int:
+        """Smallest bucket >= 1.15 * count: tile multiples on a ~1.26x
+        geometric ladder (bounded recompiles, <=26% capacity slack)."""
+        need = max(1, int(np.ceil(count * 1.15 / self.tile)))
+        c = 1
+        while c < need:
+            c = max(c + 1, int(np.ceil(c * 1.26)))
+        return c * self.tile
+
     def _latent_for(self, variables, sp_item):
         # the latent cache lives ON the item dict: id()-keyed caching is
         # unsafe with lazy windows (freed dicts' addresses get reused and
@@ -163,6 +223,49 @@ class ViewRenderer:
             )
             sp_item["_latent_cache"] = cached
         return cached
+
+    def _render_rays_global(
+        self, variables, smpl, sp, tp, latent, ro, rd, nr, fr
+    ) -> np.ndarray:
+        """Whole-view render through the global-compaction path; exact
+        (overflow re-renders at the next capacity bucket)."""
+        n = ro.shape[0]
+        ray_pad = 4096
+        n_pad = ((n + ray_pad - 1) // ray_pad) * ray_pad
+
+        def pad(x, fill):
+            if n_pad == n:
+                return x
+            p = np.full((n_pad - n,) + x.shape[1:], fill, x.dtype)
+            return np.concatenate([x, p])
+
+        # padding rays sit far outside the body grid: zero candidates,
+        # composite to background, sliced off below
+        ro_d = jnp.asarray(pad(ro, 1e6))
+        rd_d = jnp.asarray(
+            pad(rd, 0.0) if n_pad == n else np.concatenate(
+                [rd, np.tile(np.array([1.0, 0, 0], rd.dtype),
+                             (n_pad - n, 1))]
+            )
+        )
+        nr_d = jnp.asarray(pad(nr, 0.0))
+        fr_d = jnp.asarray(pad(fr, 1.0))
+
+        count = int(self._count_fn(smpl, tp, ro_d, rd_d, nr_d, fr_d))
+        cap = self._capacity_bucket(count)
+        while True:
+            out = self._global_fn(
+                variables, smpl, sp, tp, latent, ro_d, rd_d, nr_d, fr_d,
+                capacity=cap, tile_=self.tile,
+            )
+            rgb = np.asarray(out[0])
+            if int(out[3]) == 0:
+                break
+            # conservative count can't overflow in theory (the pre-pass
+            # counts the same deterministic sample set), but guard anyway
+            self.n_overflow_chunks += 1
+            cap = self._capacity_bucket(cap)
+        return rgb[:n]
 
     def render_view(self, variables, sp_item: Dict, tp_item: Dict, k: int,
                     ray_mask: Optional[np.ndarray] = None) -> np.ndarray:
@@ -196,9 +299,20 @@ class ViewRenderer:
         fr = np.asarray(tp_item["far_all"][k], np.float32).reshape(-1)
 
         n_total = ro.shape[0]
+        sel = None
         if ray_mask is not None:
             sel = np.flatnonzero(ray_mask.reshape(-1))
             ro, rd, nr, fr = ro[sel], rd[sel], nr[sel], fr[sel]
+
+        if self.global_compact and "body_grid" in tp_item:
+            rgb = self._render_rays_global(
+                variables, smpl, sp, tp, latent, ro, rd, nr, fr
+            )
+            if sel is not None:
+                full = np.zeros((n_total, 3), np.float32)
+                full[sel] = rgb
+                return full
+            return rgb
 
         perm = None
         if self.shuffle_rays:

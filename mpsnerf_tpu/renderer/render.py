@@ -157,6 +157,103 @@ def render_rays_mapped(
     return outs
 
 
+def render_rays_compact(
+    model: MPSNeRF,
+    variables: Any,
+    smpl: SMPLModel,
+    sp_input: Dict[str, Any],
+    tp_input: Dict[str, Any],
+    latent: jnp.ndarray,
+    rays_o: jnp.ndarray,   # (R, 3)
+    rays_d: jnp.ndarray,
+    near: jnp.ndarray,     # (R,)
+    far: jnp.ndarray,
+    key: jax.Array,
+    n_samples: int,
+    capacity: int,         # static: global candidate buffer (multiple of tile)
+    tile: int = 16384,     # static: tail tile size
+    perturb: float = 0.0,
+    train: bool = False,
+    occupancy: bool = False,
+    white_bkgd: bool = False,
+):
+    """Whole-image render with GLOBAL candidate compaction.
+
+    The mapped per-chunk renderer pays the body-occupancy variance tax
+    twice: every chunk carries tail capacity for the *worst* chunk, and
+    every chunk re-runs the glue ops (sampling, cull, compaction plan) at
+    chunk granularity.  Here the conservative body-grid cull and ONE
+    cumsum compaction run over every sample of the image at once, the
+    tail (1-NN, LBS warps, conditioning, MLP) runs via ``lax.map`` over
+    fixed tiles of the *globally* compacted buffer — sized to the image's
+    true candidate count, ~45% fewer tail slots than per-chunk capacity —
+    and compositing runs once over the full (R, S) grid.
+
+    Pixel-exact parity with the per-chunk path: non-candidates composite
+    through the reference's masked raw = -80 fill, and candidates beyond
+    the 5 cm mask are masked inside the tail query (the single-phase 1-NN
+    branch).  Returns ``(rgb (R,3), disp (R,), acc (R,), n_dropped ())``;
+    ``n_dropped > 0`` means ``capacity`` was too small and the image is
+    NOT exact — callers must check (the eval runner re-renders at a
+    larger capacity).
+
+    Requires ``tp_input["body_grid"]`` (ops/body_grid.py).
+    """
+    from mpsnerf_tpu.ops.body_grid import grid_lookup
+    from mpsnerf_tpu.ops.compact import plan_compaction, compact, expand
+    from mpsnerf_tpu.models.mps_nerf import MASK_FILL
+    from mpsnerf_tpu.smpl.lbs import PoseTransforms, world_to_smpl
+
+    assert capacity % tile == 0, (capacity, tile)
+    r = rays_o.shape[0]
+    z_vals = stratified_z_vals(
+        key, near[:, None], far[:, None], n_samples, perturb
+    )  # (R, S)
+    pts = (
+        rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., None]
+    ).reshape(-1, 3)  # (M, 3)
+    viewdirs = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+    vd = jnp.broadcast_to(
+        viewdirs[:, None, :], (r, n_samples, 3)
+    ).reshape(-1, 3)
+
+    tf_t = PoseTransforms.create(smpl, tp_input["params"])
+    q = world_to_smpl(jax.lax.stop_gradient(pts), tf_t.R, tf_t.Th)
+    cand = grid_lookup(tp_input["body_grid"], q).astype(jnp.int32)
+    plan = plan_compaction(cand, capacity)
+    n_dropped = jnp.maximum(plan.n_valid - capacity, 0).astype(jnp.int32)
+
+    cpts = compact(plan, pts).reshape(-1, tile, 3)
+    cvd = compact(plan, vd).reshape(-1, tile, 3)
+
+    model_nc = (
+        model.clone(compact_fraction=None)
+        if model.compact_fraction is not None else model
+    )
+
+    def one(args):
+        p, v = args
+        raw: RawOutput = model_nc.apply(
+            variables, smpl, sp_input, tp_input, latent, p, v,
+            train=train, method=MPSNeRF.query,
+        )
+        return raw.rgb, raw.sigma
+
+    rgb_t, sig_t = jax.lax.map(one, (cpts, cvd))
+    rgb_full = expand(plan, rgb_t.reshape(capacity, 3), MASK_FILL)
+    sig_full = expand(plan, sig_t.reshape(capacity), MASK_FILL)
+
+    out = composite_rays(
+        rgb_full.reshape(r, n_samples, 3),
+        sig_full.reshape(r, n_samples),
+        z_vals,
+        rays_d,
+        occupancy=occupancy,
+        white_bkgd=white_bkgd,
+    )
+    return out.rgb_map, out.disp_map, out.acc_map, n_dropped
+
+
 def render_image(
     render_chunk_fn,
     rays_o: np.ndarray,

@@ -40,6 +40,19 @@ class TestViewRenderer:
         b = r_plain.render_view(variables, items[0], items[0], 1)
         np.testing.assert_allclose(a, b, atol=1e-5)
 
+    def test_global_matches_chunked(self, setup):
+        """The global-compaction path and the per-chunk path must produce
+        the same image."""
+        ds, items, smpl, model, variables = setup
+        common = dict(chunk=512, n_samples=8, eval_compact_fraction=0.5)
+        r_g = ViewRenderer(model, lambda g: smpl, global_compact=True,
+                           **common)
+        r_c = ViewRenderer(model, lambda g: smpl, global_compact=False,
+                           **common)
+        a = r_g.render_view(variables, items[0], items[0], 1)
+        b = r_c.render_view(variables, items[0], items[0], 1)
+        np.testing.assert_allclose(a, b, atol=2e-5)
+
     def test_masked_ray_mode(self, setup):
         """H36M-style rendering: only mask_at_box rays are rendered;
         unmasked pixels are exactly zero, masked ones match a full
@@ -67,15 +80,20 @@ class TestViewRenderer:
         k = 1
         # 512 rays x 32 samples = 16384 pts/chunk vs the 1024-pt capacity
         # floor: any chunk with >6.25% in-body samples overflows
+        # global_compact off: this exercises the per-chunk path's guard
+        # (the global path pre-counts candidates exactly and cannot
+        # overflow; its parity is covered by tests/test_render_compact.py)
         r_tight = ViewRenderer(
             model, lambda g: smpl, chunk=512, n_samples=32,
             eval_compact_fraction=1e-6,  # floor cap (1024 pts) << valid pts
             shuffle_rays=False,          # body-dense chunks stay dense
+            global_compact=False,
         )
         r_exact = ViewRenderer(
             model.clone(compact_fraction=None), lambda g: smpl,
             chunk=512, n_samples=32,
             eval_compact_fraction=None, shuffle_rays=False,
+            global_compact=False,
         )
         out_tight = r_tight.render_view(variables, items[0], items[0], k)
         assert r_tight.n_overflow_chunks > 0

@@ -280,7 +280,8 @@ class MeshTrainer:
 
 
 def make_sharded_render(model, mesh: Mesh, n_samples: int, chunk: int = 0,
-                        white_bkgd: bool = False):
+                        white_bkgd: bool = False, capacity: int = 0,
+                        tile: int = 16384):
     """Pod-scale inference: rays shard over the mesh, each device renders
     its slice with zero cross-chip traffic (the "sequence parallelism" of
     this workload — SURVEY §5); only the final image gather crosses ICI.
@@ -288,10 +289,26 @@ def make_sharded_render(model, mesh: Mesh, n_samples: int, chunk: int = 0,
     Returns a jitted ``fn(variables, smpl, sp, tp, latent, ro, rd, nr,
     fr, key) -> (rgb, disp, acc)`` with ray args sharded on ``ray``.
     ``chunk`` > 0 additionally lax.maps over per-device sub-chunks.
+
+    ``capacity`` > 0 selects the global-compaction renderer
+    (:func:`render_rays_compact`) on each device: the PER-DEVICE candidate
+    buffer (a multiple of ``tile``); shard shuffled rays so per-device
+    candidate counts concentrate at the mean.  The third output becomes
+    the per-device max ``n_dropped`` (0 = every shard was exact).
     """
-    from mpsnerf_tpu.renderer.render import render_rays, render_rays_mapped
+    from mpsnerf_tpu.renderer.render import (
+        render_rays, render_rays_compact, render_rays_mapped,
+    )
 
     def local_render(variables, smpl, sp, tp, latent, ro, rd, nr, fr, key):
+        if capacity > 0:
+            rgb, disp, acc, nd = render_rays_compact(
+                model, variables, smpl, sp, tp, latent, ro, rd, nr, fr,
+                key, n_samples=n_samples, capacity=capacity, tile=tile,
+                perturb=0.0, train=False, white_bkgd=white_bkgd,
+            )
+            # nd: (1,) per device -> (n_devices,) global
+            return rgb, disp, acc, nd.reshape(1)
         if chunk and ro.shape[0] > chunk:
             return render_rays_mapped(
                 model, variables, smpl, sp, tp, latent, ro, rd, nr, fr,
@@ -311,7 +328,9 @@ def make_sharded_render(model, mesh: Mesh, n_samples: int, chunk: int = 0,
         local_render,
         mesh=mesh,
         in_specs=(rep, rep, rep, rep, rep, ray, ray, ray, ray, rep),
-        out_specs=(ray, ray, ray),
+        out_specs=(
+            (ray, ray, ray, ray) if capacity > 0 else (ray, ray, ray)
+        ),
         check_vma=False,
     )
     return jax.jit(sharded)

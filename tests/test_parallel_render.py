@@ -70,6 +70,63 @@ class TestShardedRender:
         )
 
 
+class TestShardedCompactRender:
+    def test_matches_single_device(self, scene):
+        """Global-compaction mode on the ray-sharded mesh: each device
+        culls+compacts its ray shard; parity with the single-device
+        compact renderer and zero drops at adequate capacity."""
+        from mpsnerf_tpu.data import attach_body_grid
+        from mpsnerf_tpu.renderer.render import render_rays_compact
+
+        smpl, inp, model, variables, latent = scene
+        ds_item = dict(inp)
+        # body_grid must be in tp for the compact path
+        from mpsnerf_tpu.ops.body_grid import build_body_grid
+
+        grid = build_body_grid(np.asarray(inp["vertices"]))
+        ds_item["body_grid"] = jax.tree.map(jnp.asarray, grid)
+
+        mesh = make_mesh(jax.devices()[:8])
+        cap = 512  # per-device; 64x64 scene -> few candidates per shard
+        fn = make_sharded_render(model, mesh, n_samples=8, capacity=cap,
+                                 tile=512)
+
+        k = 1
+        ro = inp["ray_o_all"][k]
+        rd = inp["ray_d_all"][k]
+        nr = inp["near_all"][k][:, 0]
+        fr = inp["far_all"][k][:, 0]
+        # shuffle rays so per-shard candidate counts sit near the mean
+        perm = np.random.default_rng(0).permutation(ro.shape[0])
+        ro, rd, nr, fr = ro[perm], rd[perm], nr[perm], fr[perm]
+        key = jax.random.PRNGKey(3)
+
+        rgb_s, disp_s, acc_s, nd = fn(
+            replicate_to_mesh(variables, mesh),
+            replicate_to_mesh(smpl, mesh),
+            replicate_to_mesh(ds_item, mesh),
+            replicate_to_mesh(ds_item, mesh),
+            replicate_to_mesh(latent, mesh),
+            *shard_rays_to_mesh((ro, rd, nr, fr), mesh),
+            replicate_to_mesh(key, mesh),
+        )
+        assert nd.shape == (8,)
+        assert int(jnp.max(nd)) == 0
+
+        rgb_1, _, acc_1, nd1 = render_rays_compact(
+            model, variables, smpl, ds_item, ds_item, latent,
+            ro, rd, nr, fr, key, n_samples=8, capacity=4096, tile=512,
+            perturb=0.0,
+        )
+        assert int(nd1) == 0
+        np.testing.assert_allclose(
+            np.asarray(rgb_s), np.asarray(rgb_1), atol=2e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(acc_s), np.asarray(acc_1), atol=2e-5
+        )
+
+
 class TestVideo:
     def test_images_to_video(self, tmp_path):
         import cv2

@@ -402,3 +402,36 @@ class TestLBSWarps:
         np.testing.assert_allclose(
             np.asarray(world_src), world_src_ref.numpy(), atol=2e-5
         )
+
+
+class TestGridSample:
+    """The reference's CUSTOM differentiable grid_sample
+    (lib/encoder.py:10-62) vs ours — unclamped bilinear weights with
+    border-clamped corner indices, including out-of-image UVs (points
+    projecting outside a source view)."""
+
+    def test_grid_sample_parity(self):
+        gs_ref = extract_fn(
+            "lib/encoder.py", "grid_sample", {"torch": torch}
+        )
+        from mpsnerf_tpu.ops.grid_sample import (
+            grid_sample_2d, grid_sample_2d_patch,
+        )
+
+        rng = np.random.default_rng(5)
+        img = rng.standard_normal((3, 7, 11, 9)).astype(np.float32)
+        coords = rng.uniform(-1.6, 1.6, (3, 64, 2)).astype(np.float32)
+
+        ref = gs_ref(
+            torch.from_numpy(img),
+            torch.from_numpy(coords)[:, :, None, :],
+        )[:, :, :, 0].numpy()
+
+        ours = np.asarray(
+            grid_sample_2d(jnp.asarray(img), jnp.asarray(coords))
+        )
+        ours_patch = np.asarray(
+            grid_sample_2d_patch(jnp.asarray(img), jnp.asarray(coords))
+        )
+        np.testing.assert_allclose(ours, ref, atol=1e-5)
+        np.testing.assert_allclose(ours_patch, ref, atol=1e-5)

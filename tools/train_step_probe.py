@@ -29,7 +29,9 @@ def main():
     item = ds.get_item(0, instance_idx=0)
     smpl = ds.smpl_for(0)
 
-    for dtype in ("float32", "bfloat16"):
+    import os
+    dtypes = os.environ.get("MPSNERF_PROBE_DTYPES", "float32,bfloat16").split(",")
+    for dtype in dtypes:
         for grid in (False, True):
             it = dict(item)
             it.pop("body_grid", None)

@@ -58,6 +58,7 @@ def grid_sample_2d(image: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
     return out
 
 
+@jax.custom_vjp
 def grid_sample_2d_patch(image: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
     """Bit-identical to :func:`grid_sample_2d`, restructured for TPU.
 
@@ -110,6 +111,29 @@ def grid_sample_2d_patch(image: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray
         + p[:, :, 1, 1, :] * (wx * wy)[..., None]
     )
     return out.transpose(0, 2, 1)  # (V, C, N)
+
+
+def _grid_sample_2d_patch_fwd(image, coords):
+    return grid_sample_2d_patch(image, coords), (image, coords)
+
+
+def _grid_sample_2d_patch_bwd(res, g):
+    # The patch gather's own VJP would be a (2,2,C)-slice scatter-add,
+    # which XLA lowers pathologically on TPU (measured 10x slower train
+    # steps).  Backprop through the 4-corner formulation instead: its
+    # per-corner scatter lowers well, and its gradients are EXACTLY the
+    # reference's (lib/encoder.py:10-62 — corner indices under no_grad,
+    # weights differentiable from the unclamped positions, so coordinate
+    # gradients keep flowing at the border where the patch form's weight
+    # clip would zero them).
+    image, coords = res
+    _, vjp = jax.vjp(grid_sample_2d, image, coords)
+    return vjp(g)
+
+
+grid_sample_2d_patch.defvjp(
+    _grid_sample_2d_patch_fwd, _grid_sample_2d_patch_bwd
+)
 
 
 def index_features(

@@ -106,6 +106,37 @@ class TestGridSample2D:
         )
         np.testing.assert_allclose(a, b, atol=1e-6, rtol=1e-6)
 
+    def test_patch_gather_grads_match_4corner(self):
+        """The custom VJP must produce the 4-corner formulation's exact
+        gradients for both image and coords (incl. border coords where
+        the patch form's weight clip would otherwise zero coord grads)."""
+        from mpsnerf_tpu.ops.grid_sample import grid_sample_2d_patch
+
+        rng = np.random.default_rng(3)
+        img = rng.normal(size=(2, 3, 6, 5)).astype(np.float32)
+        coords = np.concatenate(
+            [
+                rng.uniform(-0.9, 0.9, size=(2, 20, 2)),
+                rng.uniform(0.95, 1.4, size=(2, 8, 2)),  # at/past border
+            ],
+            axis=1,
+        ).astype(np.float32)
+        cot = rng.normal(size=(2, 3, 28)).astype(np.float32)
+
+        def loss(fn, i, c):
+            return jnp.sum(fn(i, c) * jnp.asarray(cot))
+
+        gi_a, gc_a = jax.grad(
+            lambda i, c: loss(grid_sample_2d, i, c), argnums=(0, 1)
+        )(jnp.asarray(img), jnp.asarray(coords))
+        gi_b, gc_b = jax.grad(
+            lambda i, c: loss(grid_sample_2d_patch, i, c), argnums=(0, 1)
+        )(jnp.asarray(img), jnp.asarray(coords))
+        np.testing.assert_allclose(np.asarray(gi_a), np.asarray(gi_b),
+                                   atol=1e-6)
+        np.testing.assert_allclose(np.asarray(gc_a), np.asarray(gc_b),
+                                   atol=1e-6)
+
     def test_index_features_patch_matches(self):
         from mpsnerf_tpu.ops.grid_sample import index_features_patch
 

@@ -506,6 +506,40 @@ class MPSNeRF(nn.Module):
         t_vertices = sp_input["t_vertices"]
         instance_idx = tp_input["instance_idx"].astype(jnp.int32).reshape(())
 
+        # fused Pallas tail (flagship eval config only): see
+        # ops/fused_tail.py.  Off under init (params don't exist yet),
+        # under training / normal computation (gradients take the XLA
+        # path), and for model variants the kernel doesn't cover.
+        import os as _os
+
+        use_fused_tail = (
+            not train
+            and not compute_normals
+            and self.use_transformer
+            and self.append_rgb
+            and not self.with_viewdirs
+            and not self.blend_rgb
+            and self.pe_condition
+            and not (self.correction_field
+                     and self.correction_style == "instance")
+            and not self.skinning_field
+            and self.compute_dtype == "bfloat16"
+            and not self.is_initializing()
+            and (
+                # OPT-IN: standalone the kernel beats the XLA tail by ~4%
+                # (304 vs 317 ms/img), but in situ the materialized
+                # (V, K, C) feature stack it requires costs more than it
+                # saves (187k vs 214k rays/s end-to-end) — XLA fuses the
+                # gather outputs straight into the transformer.  Kept as
+                # infrastructure (weights-resident execution) pending
+                # VMEM tuning that lets larger blocks compile.
+                (jax.default_backend() == "tpu"
+                 and _os.environ.get("MPSNERF_FUSED_TAIL") == "1")
+                # "force": interpret-mode run on CPU (tests)
+                or _os.environ.get("MPSNERF_FUSED_TAIL") == "force"
+            )
+        )
+
         def tail(can_pts):
             # the 1-NN index is non-differentiable (matches the reference's
             # knn_points semantics) — stop_gradient keeps the vjp clean
@@ -529,6 +563,43 @@ class MPSNeRF(nn.Module):
             smpl_src, world_src, bweights = deform_canonical_to_source(
                 smpl, tf_s, can_pts, vert_ids_c, weights_corr, self.mean_shape
             )
+            if use_fused_tail:
+                # fused Pallas tail: transformer + PE + NeRF MLP in one
+                # kernel, weights resident in VMEM (ops/fused_tail.py).
+                # Eval-only fast path — gradient/smooth paths take the
+                # XLA branch below (the kernel's backward would recompute
+                # it anyway), so training semantics are untouched.
+                from mpsnerf_tpu.ops.fused_tail import (
+                    extract_tail_weights, tail_fused,
+                )
+
+                feats = self._view_features(
+                    sp_input, latent, world_src, fuse=False
+                )  # (V, K, C)
+                tw = extract_tail_weights(
+                    self.variables["params"],
+                    nerf_depth=self.nerf_depth,
+                    nerf_skips=self.nerf_skips,
+                )
+                k_pts = can_pts.shape[0]
+                blk = 512
+                k_pad = ((k_pts + blk - 1) // blk) * blk
+                if k_pad != k_pts:
+                    feats = jnp.pad(
+                        feats, ((0, 0), (0, k_pad - k_pts), (0, 0))
+                    )
+                    cp = jnp.pad(can_pts, ((0, k_pad - k_pts), (0, 0)))
+                else:
+                    cp = can_pts
+                rgb, alpha = tail_fused(
+                    tw, feats, cp, jax.default_backend() != "tpu"
+                )
+                rgb = rgb[:k_pts]
+                alpha = alpha[:k_pts]
+                return alpha, (
+                    rgb, smpl_src, world_src, bweights, vert_ids_c,
+                    jnp.zeros_like(smpl_src),
+                )
             correction_b = jnp.zeros_like(smpl_src)
             if (
                 self.correction_field

@@ -137,27 +137,53 @@ def main():
         nr = jnp.asarray(near_all[sel])
         fr = jnp.asarray(far_all[sel])
 
-        # capacity pre-pass: count the image's true grid candidates once
-        # (one setup call per scene; eval sweeps reuse it across views)
+        # capacity pre-pass: count the image's grid candidates AND the
+        # exact 5 cm body points once (one setup call per scene; eval
+        # sweeps reuse it across views)
         @jax.jit
         def count_candidates(a, b, c, d):
             from mpsnerf_tpu.ops.composite import stratified_z_vals
+            from mpsnerf_tpu.ops.knn import nearest_vertex
+            from mpsnerf_tpu.models.mps_nerf import HUMAN_DIST_THRESHOLD_SQ
+            from mpsnerf_tpu.ops.compact import plan_compaction, compact
 
             z = stratified_z_vals(key, c[:, None], d[:, None], N_SAMPLES, 0.0)
             p = (a[:, None, :] + b[:, None, :] * z[..., None]).reshape(-1, 3)
             tf_t = PoseTransforms.create(smpl, inp["params"])
             q = world_to_smpl(p, tf_t.R, tf_t.Th)
-            return jnp.sum(grid_lookup(inp["body_grid"], q).astype(jnp.int32))
+            cand = grid_lookup(inp["body_grid"], q).astype(jnp.int32)
+            # fine count over a generous static candidate buffer
+            plan = plan_compaction(cand, p.shape[0] // 2)
+            qc = compact(plan, q)
+            tar = world_to_smpl(inp["vertices"], tf_t.R, tf_t.Th)
+            d2, _ = nearest_vertex(qc, tar)
+            dom = (
+                jax.lax.broadcasted_iota(
+                    jnp.int32, (qc.shape[0], 1), 0
+                )[:, 0] < plan.n_valid
+            )
+            fine = jnp.sum(
+                ((d2 < HUMAN_DIST_THRESHOLD_SQ) & dom).astype(jnp.int32)
+            )
+            return jnp.sum(cand), fine
 
-        n_cand = int(count_candidates(ro, rd, nr, fr))
+        n_cand, n_fine = (int(x) for x in count_candidates(ro, rd, nr, fr))
         capacity = ((int(n_cand * 1.1) + TILE - 1) // TILE) * TILE
+        # second-stage exact-mask compaction: measured net-negative here
+        # (193.8k vs 213.5k rays/s — the standalone candidate-wide 1-NN
+        # plus the extra plan/expand outweigh the 20% tail shrink), so
+        # off by default; MPSNERF_BENCH_FINE=1 enables it
+        if os.environ.get("MPSNERF_BENCH_FINE", "0") == "1":
+            fine_capacity = ((int(n_fine * 1.1) + TILE - 1) // TILE) * TILE
+        else:
+            fine_capacity = 0
 
         @jax.jit
         def image_fn(a, b, c, d, k):
             return render_rays_compact(
                 model, variables, smpl, inp, inp, latent, a, b, c, d, k,
                 n_samples=N_SAMPLES, capacity=capacity, tile=TILE,
-                perturb=0.0, train=False,
+                fine_capacity=fine_capacity, perturb=0.0, train=False,
             )
 
         def render_full():

@@ -310,6 +310,7 @@ class MPSNeRF(nn.Module):
         train: bool = False,
         compute_normals: bool = False,
         mode: str = "full",         # "full" | "extract_mesh" | "mesh_animation"
+        nn_ids: Optional[jnp.ndarray] = None,
     ) -> RawOutput:
         n = world_pts.shape[0]
         tp_params = tp_input["params"]
@@ -332,7 +333,14 @@ class MPSNeRF(nn.Module):
 
             use_compact = self.compact_fraction is not None and self.human_sample
 
-            if use_compact and "body_grid" in tp_input:
+            if nn_ids is not None:
+                # caller already ran the exact 5 cm cull and supplies the
+                # nearest-vertex ids (render_rays_compact's second-stage
+                # fine compaction): every point is in-body, no internal
+                # 1-NN or compaction needed
+                pts_mask = jnp.ones((n,), jnp.int32)
+                q_pts, q_ids, q_vd = smpl_query_pts, nn_ids, viewdirs
+            elif use_compact and "body_grid" in tp_input:
                 # O(1) stage 1: conservative occupancy-grid candidate test
                 # (exact superset of the 5 cm mask — see ops/body_grid.py);
                 # the exact 1-NN then runs on the compacted candidates only

@@ -172,6 +172,7 @@ def render_rays_compact(
     n_samples: int,
     capacity: int,         # static: global candidate buffer (multiple of tile)
     tile: int = 16384,     # static: tail tile size
+    fine_capacity: int = 0,  # static: second-stage exact-mask buffer
     perturb: float = 0.0,
     train: bool = False,
     occupancy: bool = False,
@@ -223,25 +224,80 @@ def render_rays_compact(
     plan = plan_compaction(cand, capacity)
     n_dropped = jnp.maximum(plan.n_valid - capacity, 0).astype(jnp.int32)
 
-    cpts = compact(plan, pts).reshape(-1, tile, 3)
-    cvd = compact(plan, vd).reshape(-1, tile, 3)
+    cpts_flat = compact(plan, pts)
+    cvd_flat = compact(plan, vd)
 
     model_nc = (
         model.clone(compact_fraction=None)
         if model.compact_fraction is not None else model
     )
 
-    def one(args):
-        p, v = args
-        raw: RawOutput = model_nc.apply(
-            variables, smpl, sp_input, tp_input, latent, p, v,
-            train=train, method=MPSNeRF.query,
-        )
-        return raw.rgb, raw.sigma
+    if fine_capacity:
+        # second stage: the conservative grid keeps ~1.35x more points
+        # than the exact 5 cm test (2 cm voxels + half-diagonal reach).
+        # ONE exact 1-NN pass over the candidate buffer yields the fine
+        # mask AND the warp's nearest-vertex ids, a second cumsum
+        # compaction shrinks the tail to the true body set, and the tail
+        # tiles skip their internal 1-NN (precomputed ids).
+        from mpsnerf_tpu.models.mps_nerf import HUMAN_DIST_THRESHOLD_SQ
+        from mpsnerf_tpu.ops.knn import nearest_vertex
 
-    rgb_t, sig_t = jax.lax.map(one, (cpts, cvd))
-    rgb_full = expand(plan, rgb_t.reshape(capacity, 3), MASK_FILL)
-    sig_full = expand(plan, sig_t.reshape(capacity), MASK_FILL)
+        assert fine_capacity % tile == 0, (fine_capacity, tile)
+        tar_smpl = world_to_smpl(tp_input["vertices"], tf_t.R, tf_t.Th)
+        q_smpl = world_to_smpl(
+            jax.lax.stop_gradient(cpts_flat), tf_t.R, tf_t.Th
+        )
+        d2, nn_ids = nearest_vertex(q_smpl, tar_smpl)
+        in_domain = (
+            jax.lax.broadcasted_iota(jnp.int32, (capacity, 1), 0)[:, 0]
+            < plan.n_valid
+        )
+        fine = ((d2 < HUMAN_DIST_THRESHOLD_SQ) & in_domain).astype(
+            jnp.int32
+        )
+        plan2 = plan_compaction(fine, fine_capacity)
+        n_dropped = n_dropped + jnp.maximum(
+            plan2.n_valid - fine_capacity, 0
+        ).astype(jnp.int32)
+        cpts = compact(plan2, cpts_flat).reshape(-1, tile, 3)
+        cvd = compact(plan2, cvd_flat).reshape(-1, tile, 3)
+        cids = compact(plan2, nn_ids).reshape(-1, tile)
+
+        def one_fine(args):
+            p, v, i = args
+            raw: RawOutput = model_nc.apply(
+                variables, smpl, sp_input, tp_input, latent, p, v,
+                train=train, nn_ids=i, method=MPSNeRF.query,
+            )
+            return raw.rgb, raw.sigma
+
+        rgb_t, sig_t = jax.lax.map(one_fine, (cpts, cvd, cids))
+        # nested expand (fine -> candidates -> full) costs one
+        # capacity-sized + one M-sized gather; compose() would need TWO
+        # M-sized gathers to build the flattened plan (measured slower)
+        rgb_full = expand(
+            plan, expand(plan2, rgb_t.reshape(fine_capacity, 3), MASK_FILL),
+            MASK_FILL,
+        )
+        sig_full = expand(
+            plan, expand(plan2, sig_t.reshape(fine_capacity), MASK_FILL),
+            MASK_FILL,
+        )
+    else:
+        cpts = cpts_flat.reshape(-1, tile, 3)
+        cvd = cvd_flat.reshape(-1, tile, 3)
+
+        def one(args):
+            p, v = args
+            raw: RawOutput = model_nc.apply(
+                variables, smpl, sp_input, tp_input, latent, p, v,
+                train=train, method=MPSNeRF.query,
+            )
+            return raw.rgb, raw.sigma
+
+        rgb_t, sig_t = jax.lax.map(one, (cpts, cvd))
+        rgb_full = expand(plan, rgb_t.reshape(capacity, 3), MASK_FILL)
+        sig_full = expand(plan, sig_t.reshape(capacity), MASK_FILL)
 
     out = composite_rays(
         rgb_full.reshape(r, n_samples, 3),

@@ -72,6 +72,38 @@ class TestRenderCompact:
         # body rays must actually hit something (non-trivial scene)
         assert float(jnp.max(acc_c)) > 0.1
 
+    def test_fine_stage_matches_single_stage(self, setup):
+        """Second-stage exact-mask compaction (fine_capacity) must be
+        pixel-identical to the single-stage path."""
+        model, variables, smpl, inp, latent, ro, rd, nr, fr = setup
+        key = jax.random.PRNGKey(0)
+        base = render_rays_compact(
+            model, variables, smpl, inp, inp, latent, ro, rd, nr, fr,
+            key, n_samples=N_SAMPLES, capacity=2048, tile=512, perturb=0.0,
+        )
+        fine = render_rays_compact(
+            model, variables, smpl, inp, inp, latent, ro, rd, nr, fr,
+            key, n_samples=N_SAMPLES, capacity=2048, tile=512,
+            fine_capacity=1536, perturb=0.0,
+        )
+        assert int(base[3]) == 0 and int(fine[3]) == 0
+        np.testing.assert_allclose(
+            np.asarray(fine[0]), np.asarray(base[0]), atol=2e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(fine[2]), np.asarray(base[2]), atol=2e-5
+        )
+
+    def test_fine_stage_overflow_reported(self, setup):
+        model, variables, smpl, inp, latent, ro, rd, nr, fr = setup
+        key = jax.random.PRNGKey(0)
+        *_, nd = render_rays_compact(
+            model, variables, smpl, inp, inp, latent, ro, rd, nr, fr,
+            key, n_samples=N_SAMPLES, capacity=2048, tile=128,
+            fine_capacity=128, perturb=0.0,
+        )
+        assert int(nd) > 0
+
     def test_overflow_is_reported(self, setup):
         model, variables, smpl, inp, latent, ro, rd, nr, fr = setup
         key = jax.random.PRNGKey(0)

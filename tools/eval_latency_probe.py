@@ -1,0 +1,76 @@
+"""Eval-runner latency artifact: per-image wall time through ViewRenderer.
+
+Exercises the PRODUCT eval path (ViewRenderer with the global-compaction
+renderer, capacity buckets, latent cache) on the synthetic 512x512 scene —
+the same workload bench.py measures at the raw-renderer level — and
+records per-view latency + throughput to artifacts/eval_latency.json.
+"""
+
+import json
+import os
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from mpsnerf_tpu.utils.compilation_cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    from mpsnerf_tpu.data.synthetic import SyntheticHumanDataset
+    from mpsnerf_tpu.eval.runner import ViewRenderer
+    from mpsnerf_tpu.models.mps_nerf import MPSNeRF
+    from mpsnerf_tpu.train.trainer import to_device_input
+
+    SIZE = 512
+    ds = SyntheticHumanDataset(
+        n_poses=2, n_cameras=6, image_size=SIZE, n_rays=64, n_verts=6890,
+        num_instances=1, input_views=[0, 2, 4],
+    )
+    items = [ds.get_item(i, instance_idx=0) for i in range(2)]
+    smpl = ds.smpl_for(0)
+    inp = to_device_input(items[0])
+    model = MPSNeRF(num_instances=1, compute_dtype="bfloat16")
+    variables = jax.jit(model.init, static_argnames=("train",))(
+        {"params": jax.random.PRNGKey(0)}, smpl, inp, inp,
+        jnp.zeros((8, 3)), jnp.zeros((8, 3)), train=False,
+    )
+
+    r = ViewRenderer(model, lambda g: smpl, n_samples=128)
+
+    # warm-up: compiles count_fn + global_fn for this capacity bucket
+    r.render_view(variables, items[0], items[0], 1)
+
+    times = []
+    views = [1, 3, 5]
+    t0 = time.time()
+    for it in items:
+        for k in views:
+            tv = time.time()
+            rgb = r.render_view(variables, it, it, k)
+            times.append(time.time() - tv)
+            assert np.isfinite(rgb).all()
+    total = time.time() - t0
+    n_views = len(items) * len(views)
+
+    out = {
+        "workload": f"{SIZE}x{SIZE}x128 full-image novel view, 3 input "
+                    "views, ViewRenderer (global compaction)",
+        "views_rendered": n_views,
+        "per_view_ms": [round(t * 1e3, 1) for t in times],
+        "mean_view_ms": round(np.mean(times) * 1e3, 1),
+        "rays_per_sec": round(SIZE * SIZE * n_views / total, 1),
+        "overflow_retries": r.n_overflow_chunks,
+    }
+    os.makedirs("artifacts", exist_ok=True)
+    with open("artifacts/eval_latency.json", "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out, indent=1))
+
+
+if __name__ == "__main__":
+    main()

@@ -168,13 +168,16 @@ def main():
             return jnp.sum(cand), fine
 
         n_cand, n_fine = (int(x) for x in count_candidates(ro, rd, nr, fr))
-        capacity = ((int(n_cand * 1.1) + TILE - 1) // TILE) * TILE
+        # the pre-pass counts the EXACT deterministic sample set the
+        # render uses (same key, perturb=0), so no headroom is needed —
+        # the warm-up's n_dropped == 0 assert would catch any drift
+        capacity = ((n_cand + TILE - 1) // TILE) * TILE
         # second-stage exact-mask compaction: measured net-negative here
         # (193.8k vs 213.5k rays/s — the standalone candidate-wide 1-NN
         # plus the extra plan/expand outweigh the 20% tail shrink), so
         # off by default; MPSNERF_BENCH_FINE=1 enables it
         if os.environ.get("MPSNERF_BENCH_FINE", "0") == "1":
-            fine_capacity = ((int(n_fine * 1.1) + TILE - 1) // TILE) * TILE
+            fine_capacity = ((n_fine + TILE - 1) // TILE) * TILE
         else:
             fine_capacity = 0
 

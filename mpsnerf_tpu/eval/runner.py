@@ -204,9 +204,11 @@ class ViewRenderer:
             self._count_fn = count_fn
 
     def _capacity_bucket(self, count: int) -> int:
-        """Smallest bucket >= 1.15 * count: tile multiples on a ~1.26x
-        geometric ladder (bounded recompiles, <=26% capacity slack)."""
-        need = max(1, int(np.ceil(count * 1.15 / self.tile)))
+        """Smallest bucket >= count: tile multiples on a ~1.26x geometric
+        ladder (bounded recompiles, <=26% slack).  The count pre-pass is
+        exact (same deterministic sample set as the render), so no extra
+        headroom factor; the overflow-retry path is the safety net."""
+        need = max(1, int(np.ceil(count / self.tile)))
         c = 1
         while c < need:
             c = max(c + 1, int(np.ceil(c * 1.26)))

@@ -241,9 +241,15 @@ def main():
 
     _, n_dropped = render_full()  # warm-up / compile
     # the measured image must be exact: no compacted point dropped
+    if MODE == "compact":
+        hint = (
+            "exact-count pre-pass disagreed with the render — check "
+            "count_candidates or raise MPSNERF_BENCH_TILE headroom"
+        )
+    else:
+        hint = f"raise MPSNERF_BENCH_COMPACT above {cf}"
     assert int(n_dropped) == 0, (
-        f"compaction overflow ({int(n_dropped)} pts) — raise "
-        f"MPSNERF_BENCH_COMPACT above {cf}"
+        f"compaction overflow ({int(n_dropped)} pts) — {hint}"
     )
 
     n_images = 3
@@ -253,6 +259,43 @@ def main():
     dt = (time.time() - t0) / n_images
 
     rays_per_sec = n_img_rays / dt
+
+    # --- train-step timing: catches hot-path regressions the render
+    # metric can't see (round 2's 10x VJP regression, commit 14f0201) ---
+    train_ms = {}
+    if os.environ.get("MPSNERF_BENCH_TRAIN", "1") == "1":
+        from mpsnerf_tpu.train.trainer import Trainer, TrainConfig
+
+        # shipped train configuration: fp32, 50% compaction, N_rand~1000
+        model_t = MPSNeRF(num_instances=1, compact_fraction=0.5)
+        cfg_t = TrainConfig(smooth_loss=True)
+        trainer = Trainer(model_t, cfg_t, variables)
+        n_rand = 1000
+        tsel = sel[:n_rand]
+        t_args = (
+            smpl, inp, inp,
+            jnp.asarray(ray_o[tsel]), jnp.asarray(ray_d[tsel]),
+            jnp.asarray(near_all[tsel]), jnp.asarray(far_all[tsel]),
+            jnp.zeros((n_rand, 3), jnp.float32),
+            jnp.zeros((n_rand, 1), jnp.float32),
+            jax.random.PRNGKey(1),
+        )
+        for name, fn, reps in (
+            ("plain", trainer._step_plain, 5),
+            ("smooth", trainer._step_smooth, 3),
+        ):
+            state, terms, _ = fn(trainer.state, *t_args)  # compile
+            trainer.state = state
+            np.asarray(terms.total)  # true sync on the tunneled backend
+            t0 = time.time()
+            for _ in range(reps):
+                state, terms, _ = fn(trainer.state, *t_args)
+                trainer.state = state
+            np.asarray(terms.total)
+            train_ms[f"train_step_ms_{name}"] = round(
+                (time.time() - t0) / reps * 1000.0, 1
+            )
+
     print(
         json.dumps(
             {
@@ -261,11 +304,15 @@ def main():
                 "unit": "rays/s/chip",
                 "vs_baseline": round(rays_per_sec / 30000.0, 3),
                 "hit_rays": int(n_rays),
+                # throughput over the rays that actually execute (no cull
+                # credit) — comparable across cull on/off configurations
+                "hit_rays_per_sec": round(n_rays / dt, 1),
                 "compute_dtype": DTYPE,
                 "mode": MODE,
                 "chunk": CHUNK,
                 "capacity": capacity,
                 "compact_fraction": round(cf, 4),
+                **train_ms,
             }
         )
     )

@@ -196,10 +196,20 @@ def load_reference_checkpoint(tar_path: str, variables: Dict,
         sd, resnet_layers
     )
 
+    unused_modules = []
+
     def merge(dst, src, path=""):
         for k, v in src.items():
             if isinstance(v, dict):
                 if k not in dst:
+                    if not path:
+                        # top-level module the target model never invokes
+                        # (e.g. latent_codes in the flagship config: the
+                        # reference computes-and-discards the embedding,
+                        # skinnning_batch.py:401-403, so our query never
+                        # creates its params) — skip, but surface it
+                        unused_modules.append(k)
+                        continue
                     raise KeyError(f"no target module at {path}{k}")
                 merge(dst[k], v, f"{path}{k}/")
             else:
@@ -220,4 +230,5 @@ def load_reference_checkpoint(tar_path: str, variables: Dict,
     }
     merge(variables["params"], new_params)
     merge(variables["batch_stats"], new_stats)
+    report["unused_modules"] = unused_modules
     return variables, step, report

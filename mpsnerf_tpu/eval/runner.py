@@ -226,11 +226,11 @@ class ViewRenderer:
             sp_item["_latent_cache"] = cached
         return cached
 
-    def _render_rays_global(
-        self, variables, smpl, sp, tp, latent, ro, rd, nr, fr
-    ) -> np.ndarray:
-        """Whole-view render through the global-compaction path; exact
-        (overflow re-renders at the next capacity bucket)."""
+    @staticmethod
+    def _pad_rays(ro, rd, nr, fr):
+        """Pad to a 4096 multiple.  Padding rays sit far outside the body
+        grid: zero candidates, composite to background, sliced off by the
+        caller.  Returns device arrays."""
         n = ro.shape[0]
         ray_pad = 4096
         n_pad = ((n + ray_pad - 1) // ray_pad) * ray_pad
@@ -241,8 +241,6 @@ class ViewRenderer:
             p = np.full((n_pad - n,) + x.shape[1:], fill, x.dtype)
             return np.concatenate([x, p])
 
-        # padding rays sit far outside the body grid: zero candidates,
-        # composite to background, sliced off below
         ro_d = jnp.asarray(pad(ro, 1e6))
         rd_d = jnp.asarray(
             pad(rd, 0.0) if n_pad == n else np.concatenate(
@@ -252,29 +250,40 @@ class ViewRenderer:
         )
         nr_d = jnp.asarray(pad(nr, 0.0))
         fr_d = jnp.asarray(pad(fr, 1.0))
+        return ro_d, rd_d, nr_d, fr_d
+
+    def _render_rays_global(
+        self, variables, smpl, sp, tp, latent, ro, rd, nr, fr
+    ) -> np.ndarray:
+        """Whole-view render through the global-compaction path; exact
+        (overflow re-renders at the next capacity bucket)."""
+        n = ro.shape[0]
+        ro_d, rd_d, nr_d, fr_d = self._pad_rays(ro, rd, nr, fr)
 
         count = int(self._count_fn(smpl, tp, ro_d, rd_d, nr_d, fr_d))
         cap = self._capacity_bucket(count)
-        while True:
+        for _ in range(8):
             out = self._global_fn(
                 variables, smpl, sp, tp, latent, ro_d, rd_d, nr_d, fr_d,
                 capacity=cap, tile_=self.tile,
             )
             rgb = np.asarray(out[0])
             if int(out[3]) == 0:
-                break
-            # conservative count can't overflow in theory (the pre-pass
-            # counts the same deterministic sample set), but guard anyway
+                return rgb[:n]
+            # the pre-pass counts the same deterministic sample set, so
+            # overflow needs an XLA fusion/fma flip at a voxel boundary —
+            # guard anyway.  cap is already a ladder bucket, so bump by one
+            # element to land on the NEXT bucket (cap alone is a fixpoint).
             self.n_overflow_chunks += 1
-            cap = self._capacity_bucket(cap)
-        return rgb[:n]
+            cap = self._capacity_bucket(cap + 1)
+        raise RuntimeError(
+            f"render overflow persisted through 8 capacity bumps "
+            f"(last capacity={cap}, pre-pass count={count})"
+        )
 
-    def render_view(self, variables, sp_item: Dict, tp_item: Dict, k: int,
-                    ray_mask: Optional[np.ndarray] = None) -> np.ndarray:
-        """Render target view ``k`` of ``tp_item`` conditioned on
-        ``sp_item``.  Returns (H*W, 3) float.  ``ray_mask`` restricts
-        rendering to masked rays (H36M masked-ray mode, all_test.py:384-387);
-        unmasked pixels return 0."""
+    def _prep_view(self, variables, sp_item, tp_item, k, ray_mask=None):
+        """Item dicts -> device inputs + the view's ray arrays (shared by
+        render_view and prewarm)."""
         if "body_grid" not in tp_item and "feature" in tp_item:
             from mpsnerf_tpu.data import attach_body_grid
 
@@ -305,6 +314,47 @@ class ViewRenderer:
         if ray_mask is not None:
             sel = np.flatnonzero(ray_mask.reshape(-1))
             ro, rd, nr, fr = ro[sel], rd[sel], nr[sel], fr[sel]
+        return smpl, sp, tp, latent, ro, rd, nr, fr, sel, n_total
+
+    def prewarm(self, variables, sp_item: Dict, tp_item: Dict, k: int = 0,
+                extra_buckets: int = 1) -> List[int]:
+        """Compile the global path's predicted capacity bucket(s) before a
+        protocol run: the count pre-pass on view ``k`` picks the bucket,
+        and ``extra_buckets`` neighbours up the ladder are compiled too
+        (view-to-view candidate counts drift within ~1 bucket).  Without
+        this a mid-protocol bucket change recompiles inside the timed
+        loop — a single 10x per-view latency outlier (round-2
+        eval_latency artifact).  Returns the compiled capacities."""
+        if not (self.global_compact and (
+            "body_grid" in tp_item or "feature" in tp_item
+        )):
+            return []
+        (smpl, sp, tp, latent, ro, rd, nr, fr, _, _) = (
+            self._prep_view(variables, sp_item, tp_item, k)
+        )
+        ro_d, rd_d, nr_d, fr_d = self._pad_rays(ro, rd, nr, fr)
+        count = int(self._count_fn(smpl, tp, ro_d, rd_d, nr_d, fr_d))
+        caps, c = [], self._capacity_bucket(count)
+        for _ in range(extra_buckets + 1):
+            caps.append(c)
+            c = self._capacity_bucket(c + 1)
+        for cap in caps:
+            out = self._global_fn(
+                variables, smpl, sp, tp, latent, ro_d, rd_d, nr_d, fr_d,
+                capacity=cap, tile_=self.tile,
+            )
+            jax.block_until_ready(out)
+        return caps
+
+    def render_view(self, variables, sp_item: Dict, tp_item: Dict, k: int,
+                    ray_mask: Optional[np.ndarray] = None) -> np.ndarray:
+        """Render target view ``k`` of ``tp_item`` conditioned on
+        ``sp_item``.  Returns (H*W, 3) float.  ``ray_mask`` restricts
+        rendering to masked rays (H36M masked-ray mode, all_test.py:384-387);
+        unmasked pixels return 0."""
+        (smpl, sp, tp, latent, ro, rd, nr, fr, sel, n_total) = (
+            self._prep_view(variables, sp_item, tp_item, k, ray_mask)
+        )
 
         if self.global_compact and "body_grid" in tp_item:
             rgb = self._render_rays_global(
@@ -406,6 +456,16 @@ def run_thuman_eval(
             "novel_view": DatasetWindow(ds_view, poses_num),
         }
         start_poses[name] = start
+
+    try:
+        first = next(iter(humans.values()))["novel_view"][0]
+        caps = renderer.prewarm(
+            variables, first, first, k=THUMAN_NOVEL_VIEWS[0]
+        )
+        if verbose and caps:
+            print(f"[eval] prewarmed capacity buckets: {caps}")
+    except Exception as e:  # prewarm is best-effort, never blocks eval
+        print(f"[eval] prewarm skipped: {e}")
 
     return evaluate_novel_view_pose(
         lambda sp, tp, k: renderer.render_view(variables, sp, tp, k),

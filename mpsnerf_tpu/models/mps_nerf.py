@@ -28,6 +28,8 @@ TPU-first restructuring vs. the reference:
 
 from __future__ import annotations
 
+import dataclasses
+import os
 from typing import Any, Dict, NamedTuple, Optional
 
 import jax
@@ -160,6 +162,14 @@ class MPSNeRF(nn.Module):
     # Off by default: at 6890 vertices the compaction-plan overhead eats
     # the saved 1-NN work (measured); worthwhile for denser vertex sets.
     cull_fraction: Optional[float] = None
+    # fused Pallas tail (ops/fused_tail.py): "" = off, "1" = TPU kernel,
+    # "force" = interpret mode (tests).  Captured from MPSNERF_FUSED_TAIL
+    # at model CONSTRUCTION (default_factory) so the knob is an explicit
+    # hashed model field — toggling the env var mid-process has no effect
+    # on an existing model, by design, instead of silently-until-retrace.
+    fused_tail: str = dataclasses.field(
+        default_factory=lambda: os.environ.get("MPSNERF_FUSED_TAIL", "")
+    )
 
     def setup(self):
         cdt = jnp.bfloat16 if self.compute_dtype == "bfloat16" else None
@@ -518,8 +528,6 @@ class MPSNeRF(nn.Module):
         # ops/fused_tail.py.  Off under init (params don't exist yet),
         # under training / normal computation (gradients take the XLA
         # path), and for model variants the kernel doesn't cover.
-        import os as _os
-
         use_fused_tail = (
             not train
             and not compute_normals
@@ -541,10 +549,9 @@ class MPSNeRF(nn.Module):
                 # gather outputs straight into the transformer.  Kept as
                 # infrastructure (weights-resident execution) pending
                 # VMEM tuning that lets larger blocks compile.
-                (jax.default_backend() == "tpu"
-                 and _os.environ.get("MPSNERF_FUSED_TAIL") == "1")
+                (jax.default_backend() == "tpu" and self.fused_tail == "1")
                 # "force": interpret-mode run on CPU (tests)
-                or _os.environ.get("MPSNERF_FUSED_TAIL") == "force"
+                or self.fused_tail == "force"
             )
         )
 

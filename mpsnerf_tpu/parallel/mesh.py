@@ -150,7 +150,8 @@ def make_batched_train_step(model, cfg, mesh: Mesh, smooth: bool = False):
         )
 
         new_params, new_opt = adam_apply(tx, cfg, state, grads)
-        psnr = mse2psnr(jnp.maximum(terms.img, 1e-10))
+        # see trainer.py: true-MSE PSNR even when pair loss is zeroed
+        psnr = mse2psnr(jnp.maximum(terms.img_raw, 1e-10))
         new_state = state.replace(
             step=state.step + 1, params=new_params,
             batch_stats=new_bs, opt_state=new_opt,
@@ -271,7 +272,7 @@ class MeshTrainer:
         mean = lambda xs: float(np.mean([float(x) for x in xs]))
         return {
             "loss": mean([t.total for t, _ in logs]),
-            "img_loss": mean([t.img for t, _ in logs]),
+            "img_loss": mean([t.img_raw for t, _ in logs]),
             "acc_loss": mean([t.acc for t, _ in logs]),
             "psnr": mean([p for _, p in logs]),
             "normal_smooth_loss": mean([t.normal_smooth for t, _ in logs]),

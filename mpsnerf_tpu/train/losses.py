@@ -37,6 +37,10 @@ def masked_mse(x: jnp.ndarray, y, mask: jnp.ndarray) -> jnp.ndarray:
 class LossTerms(NamedTuple):
     total: jnp.ndarray
     img: jnp.ndarray
+    # true image MSE regardless of pair-mode pose gating; the reference logs
+    # this even when the gated loss is zero (run_nerf_batch.py:559-560), so
+    # cross-pose items report their real PSNR instead of mse2psnr(0)
+    img_raw: jnp.ndarray
     acc: jnp.ndarray
     correction: jnp.ndarray
     consistency: jnp.ndarray
@@ -61,16 +65,13 @@ def compute_losses(
 ) -> LossTerms:
     zero = jnp.asarray(0.0, rgb_map.dtype)
 
+    img_raw = img2mse(rgb_map, target_rgb)
     if pose_match is None:
-        img = img2mse(rgb_map, target_rgb)
+        img = img_raw
     else:
         # pair training: supervise rgb only when source pose == target pose
         # (ref extended_img2mse, run_nerf_helpers.py:22-30)
-        img = jnp.where(
-            pose_match,
-            img2mse(rgb_map, target_rgb),
-            zero,
-        )
+        img = jnp.where(pose_match, img_raw, zero)
 
     acc = img2mse(bkgd_msk.reshape(acc_map.shape), acc_map) if use_acc_loss else zero
 
@@ -108,6 +109,7 @@ def compute_losses(
     return LossTerms(
         total=total,
         img=img,
+        img_raw=img_raw,
         acc=acc,
         correction=correction,
         consistency=consistency,

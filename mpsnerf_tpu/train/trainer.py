@@ -161,7 +161,9 @@ def make_train_step(
             )
 
         new_params, new_opt = adam_apply(tx, cfg, state, grads)
-        psnr = mse2psnr(jnp.maximum(terms.img, 1e-10))
+        # pair mode zeroes terms.img on cross-pose items; log the true MSE's
+        # PSNR like the reference (run_nerf_batch.py:559-560)
+        psnr = mse2psnr(jnp.maximum(terms.img_raw, 1e-10))
         new_state = state.replace(
             step=state.step + 1,
             params=new_params,
@@ -320,7 +322,7 @@ class Trainer:
         mean = lambda xs: float(np.mean([float(x) for x in xs]))
         return {
             "loss": mean([t.total for t, _ in logs]),
-            "img_loss": mean([t.img for t, _ in logs]),
+            "img_loss": mean([t.img_raw for t, _ in logs]),
             "acc_loss": mean([t.acc for t, _ in logs]),
             "psnr": mean([p for _, p in logs]),
             "normal_smooth_loss": mean([t.normal_smooth for t, _ in logs]),

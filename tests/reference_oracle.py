@@ -83,6 +83,24 @@ def extract_fn(relpath: str, name: str, glb: dict):
     raise KeyError(f"{name} not found in {relpath}")
 
 
+def extract_method(relpath: str, cls_name: str, name: str, glb: dict):
+    """Like :func:`extract_fn` but scoped to ``class cls_name`` — needed
+    when several classes in the file define a method of the same name
+    (e.g. ``forward``)."""
+    path = os.path.join(REFERENCE_ROOT, relpath)
+    with open(path) as f:
+        src = f.read()
+    for node in ast.walk(ast.parse(src)):
+        if isinstance(node, ast.ClassDef) and node.name == cls_name:
+            for sub in node.body:
+                if isinstance(sub, ast.FunctionDef) and sub.name == name:
+                    seg = ast.get_source_segment(src, sub)
+                    ns = dict(glb)
+                    exec(compile(textwrap.dedent(seg), path, "exec"), ns)
+                    return ns[name]
+    raise KeyError(f"{cls_name}.{name} not found in {relpath}")
+
+
 def patch_cuda_to_cpu(monkeypatch) -> None:
     """Reference code calls ``.cuda()`` unconditionally; run it on CPU."""
     import torch

@@ -42,7 +42,10 @@ def main():
 
     r = ViewRenderer(model, lambda g: smpl, n_samples=128)
 
-    # warm-up: compiles count_fn + global_fn for this capacity bucket
+    # pre-warm: compiles count_fn + the predicted capacity bucket AND its
+    # ladder neighbour, so a mid-protocol bucket change doesn't recompile
+    # inside the timed loop (round-2 artifact had one 4970 ms outlier)
+    caps = r.prewarm(variables, items[0], items[0], k=1)
     r.render_view(variables, items[0], items[0], 1)
 
     times = []
@@ -57,11 +60,17 @@ def main():
     total = time.time() - t0
     n_views = len(items) * len(views)
 
+    med = float(np.median(times))
     out = {
         "workload": f"{SIZE}x{SIZE}x128 full-image novel view, 3 input "
                     "views, ViewRenderer (global compaction)",
         "views_rendered": n_views,
+        "prewarmed_capacities": caps,
         "per_view_ms": [round(t * 1e3, 1) for t in times],
+        # median is the steady-state number; max/median flags any
+        # remaining in-loop recompile (should be < 1.5 after prewarm)
+        "median_view_ms": round(med * 1e3, 1),
+        "max_over_median": round(float(np.max(times)) / med, 2),
         "mean_view_ms": round(np.mean(times) * 1e3, 1),
         "rays_per_sec": round(SIZE * SIZE * n_views / total, 1),
         "overflow_retries": r.n_overflow_chunks,

@@ -127,7 +127,9 @@ def main():
     key = jax.random.PRNGKey(0)
 
     if MODE == "compact":
-        from mpsnerf_tpu.renderer.render import render_rays_compact
+        from mpsnerf_tpu.renderer.render import (
+            plan_rays_compact, render_rays_compact,
+        )
         from mpsnerf_tpu.ops.body_grid import grid_lookup
         from mpsnerf_tpu.smpl.lbs import PoseTransforms, world_to_smpl
 
@@ -182,15 +184,26 @@ def main():
             fine_capacity = 0
 
         @jax.jit
-        def image_fn(a, b, c, d, k):
+        def plan_fn(a, b, c, d):
+            return plan_rays_compact(
+                smpl, inp, a, b, c, d, key, n_samples=N_SAMPLES,
+                perturb=0.0,
+            )
+
+        @jax.jit
+        def image_fn(a, b, c, d, k, plan):
             return render_rays_compact(
                 model, variables, smpl, inp, inp, latent, a, b, c, d, k,
                 n_samples=N_SAMPLES, capacity=capacity, tile=TILE,
                 fine_capacity=fine_capacity, perturb=0.0, train=False,
+                plan=plan,
             )
 
         def render_full():
-            out = image_fn(ro, rd, nr, fr, key)
+            # the plan pre-pass is real per-view work (the eval runner
+            # pays it per view) — inside the timed region
+            plan = plan_fn(ro, rd, nr, fr)
+            out = image_fn(ro, rd, nr, fr, key, plan)
             rgb = np.asarray(out[0])
             img = np.zeros((n_img_rays, 3), np.float32)
             img[sel] = rgb

@@ -190,8 +190,7 @@ class SyntheticHumanDataset:
             k: []
             for k in (
                 "img_all ray_o_all ray_d_all rgb_all near_all far_all "
-                "mask_at_box_all bkgd_msk_all msk_all K_all R_all T_all "
-                "img_ray_d_all"
+                "mask_at_box_all bkgd_msk_all msk_all K_all R_all T_all"
             ).split()
         }
         for vi in self.output_view:

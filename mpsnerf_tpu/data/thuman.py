@@ -199,7 +199,7 @@ class THumanDatasetBatch:
         per_view: Dict[str, List] = {
             k: []
             for k in (
-                "img_all img_ray_d_all msk_all K_all R_all T_all rgb_all "
+                "img_all msk_all K_all R_all T_all rgb_all "
                 "ray_o_all ray_d_all near_all far_all mask_at_box_all "
                 "bkgd_msk_all"
             ).split()

@@ -156,52 +156,43 @@ class ViewRenderer:
 
         # ---- global-compaction whole-image path (render_rays_compact):
         # one conservative body-grid cull + ONE compaction over every
-        # sample of the view, tail tiled over the compacted buffer — no
-        # per-chunk capacity variance, no per-chunk host round-trips.
-        # Capacity is chosen per view from a candidate-count pre-pass and
-        # bucketed geometrically (~1.26x steps) so recompiles stay rare;
-        # overflow (n_dropped > 0) bumps the bucket and re-renders, so
-        # results are ALWAYS exact.
+        # sample of the view.  The pre-pass builds the FULL compaction
+        # plan (plan_rays_compact); the render consumes it resized to the
+        # chosen capacity bucket, skipping its in-render cull + cumsum —
+        # and because both passes share one plan, capacity >= n_valid
+        # makes overflow impossible by construction.
         self.global_compact = global_compact
         self.tile = tile
 
         if global_compact:
             import functools
 
-            from mpsnerf_tpu.renderer.render import render_rays_compact
-            from mpsnerf_tpu.ops.body_grid import grid_lookup
-            from mpsnerf_tpu.ops.composite import stratified_z_vals
-            from mpsnerf_tpu.smpl.lbs import PoseTransforms, world_to_smpl
+            from mpsnerf_tpu.renderer.render import (
+                plan_rays_compact, render_rays_compact,
+            )
 
             @functools.partial(
                 jax.jit, static_argnames=("capacity", "tile_")
             )
             def global_fn(variables, smpl, sp, tp, latent, ro, rd, nr, fr,
-                          capacity, tile_):
+                          plan, capacity, tile_):
                 return render_rays_compact(
                     model_, variables, smpl, sp, tp, latent,
                     ro, rd, nr, fr, jax.random.PRNGKey(0),
                     n_samples=n_samples_, capacity=capacity, tile=tile_,
                     perturb=0.0, train=False, white_bkgd=white_,
+                    plan=plan,
                 )
 
             @jax.jit
-            def count_fn(smpl, tp, ro, rd, nr, fr):
-                z = stratified_z_vals(
-                    jax.random.PRNGKey(0), nr[:, None], fr[:, None],
-                    n_samples_, 0.0,
-                )
-                p = (
-                    ro[:, None, :] + rd[:, None, :] * z[..., None]
-                ).reshape(-1, 3)
-                tf_t = PoseTransforms.create(smpl, tp["params"])
-                q = world_to_smpl(p, tf_t.R, tf_t.Th)
-                return jnp.sum(
-                    grid_lookup(tp["body_grid"], q).astype(jnp.int32)
+            def plan_fn(smpl, tp, ro, rd, nr, fr):
+                return plan_rays_compact(
+                    smpl, tp, ro, rd, nr, fr, jax.random.PRNGKey(0),
+                    n_samples=n_samples_, perturb=0.0,
                 )
 
             self._global_fn = global_fn
-            self._count_fn = count_fn
+            self._plan_fn = plan_fn
 
     def _capacity_bucket(self, count: int) -> int:
         """Smallest bucket >= count: tile multiples on a ~1.26x geometric
@@ -260,26 +251,18 @@ class ViewRenderer:
         n = ro.shape[0]
         ro_d, rd_d, nr_d, fr_d = self._pad_rays(ro, rd, nr, fr)
 
-        count = int(self._count_fn(smpl, tp, ro_d, rd_d, nr_d, fr_d))
+        plan = self._plan_fn(smpl, tp, ro_d, rd_d, nr_d, fr_d)
+        count = int(plan.n_valid)
         cap = self._capacity_bucket(count)
-        for _ in range(8):
-            out = self._global_fn(
-                variables, smpl, sp, tp, latent, ro_d, rd_d, nr_d, fr_d,
-                capacity=cap, tile_=self.tile,
-            )
-            rgb = np.asarray(out[0])
-            if int(out[3]) == 0:
-                return rgb[:n]
-            # the pre-pass counts the same deterministic sample set, so
-            # overflow needs an XLA fusion/fma flip at a voxel boundary —
-            # guard anyway.  cap is already a ladder bucket, so bump by one
-            # element to land on the NEXT bucket (cap alone is a fixpoint).
-            self.n_overflow_chunks += 1
-            cap = self._capacity_bucket(cap + 1)
-        raise RuntimeError(
-            f"render overflow persisted through 8 capacity bumps "
-            f"(last capacity={cap}, pre-pass count={count})"
+        out = self._global_fn(
+            variables, smpl, sp, tp, latent, ro_d, rd_d, nr_d, fr_d,
+            plan, capacity=cap, tile_=self.tile,
         )
+        rgb = np.asarray(out[0])
+        # the render consumes the pre-pass's OWN plan resized to a bucket
+        # >= n_valid, so dropping is structurally impossible
+        assert int(out[3]) == 0, (int(out[3]), count, cap)
+        return rgb[:n]
 
     def _prep_view(self, variables, sp_item, tp_item, k, ray_mask=None):
         """Item dicts -> device inputs + the view's ray arrays (shared by
@@ -333,7 +316,8 @@ class ViewRenderer:
             self._prep_view(variables, sp_item, tp_item, k)
         )
         ro_d, rd_d, nr_d, fr_d = self._pad_rays(ro, rd, nr, fr)
-        count = int(self._count_fn(smpl, tp, ro_d, rd_d, nr_d, fr_d))
+        plan = self._plan_fn(smpl, tp, ro_d, rd_d, nr_d, fr_d)
+        count = int(plan.n_valid)
         caps, c = [], self._capacity_bucket(count)
         for _ in range(extra_buckets + 1):
             caps.append(c)
@@ -341,7 +325,7 @@ class ViewRenderer:
         for cap in caps:
             out = self._global_fn(
                 variables, smpl, sp, tp, latent, ro_d, rd_d, nr_d, fr_d,
-                capacity=cap, tile_=self.tile,
+                plan, capacity=cap, tile_=self.tile,
             )
             jax.block_until_ready(out)
         return caps

@@ -262,16 +262,14 @@ class MPSNeRF(nn.Module):
         # compositing and losses run fp32 regardless of compute dtype
         return rgb.astype(jnp.float32), alpha.astype(jnp.float32)
 
-    def _view_features(self, sp_input, latent, world_src_pts, fuse=True):
-        """Project points into each source view, gather pixel-aligned
-        features (+ PE'd sampled rgb), fuse across views.  With
-        ``fuse=False`` returns the raw per-view stack (V, N, C)."""
+    def _project_uv(self, sp_input, world_src_pts):
+        """World points -> per-view pixel coords (ref ``projection``,
+        skinnning_batch.py:179-186).  Returns (uv (V, N, 2), image_size)."""
         R_all = sp_input["R_all"]          # (V, 3, 3)
         T_all = sp_input["T_all"].reshape(-1, 3, 1)
         K_all = sp_input["K_all"]          # (V, 3, 3)
         img_all = sp_input["img_all"]      # (V, 3, H, W)
-        h_img, w_img = img_all.shape[-2], img_all.shape[-1]
-        image_size = (float(w_img), float(h_img))
+        image_size = (float(img_all.shape[-1]), float(img_all.shape[-2]))
 
         with jax.named_scope("projection"):
             cam = (
@@ -280,6 +278,14 @@ class MPSNeRF(nn.Module):
             )
             pix = jnp.einsum("vij,vnj->vni", K_all, cam)
             uv = pix[..., :2] / (pix[..., 2:] + 1e-5)  # (V, N, 2)
+        return uv, image_size
+
+    def _view_features(self, sp_input, latent, world_src_pts, fuse=True):
+        """Project points into each source view, gather pixel-aligned
+        features (+ PE'd sampled rgb), fuse across views.  With
+        ``fuse=False`` returns the raw per-view stack (V, N, C)."""
+        img_all = sp_input["img_all"]      # (V, 3, H, W)
+        uv, image_size = self._project_uv(sp_input, world_src_pts)
 
         with jax.named_scope("encoder_index"):
             # patch-gather fast path: one (2,2,C) gather per point instead
@@ -579,35 +585,63 @@ class MPSNeRF(nn.Module):
                 smpl, tf_s, can_pts, vert_ids_c, weights_corr, self.mean_shape
             )
             if use_fused_tail:
-                # fused Pallas tail: transformer + PE + NeRF MLP in one
-                # kernel, weights resident in VMEM (ops/fused_tail.py).
-                # Eval-only fast path — gradient/smooth paths take the
-                # XLA branch below (the kernel's backward would recompute
-                # it anyway), so training semantics are untouched.
+                # fused Pallas tail v2: bilinear combine + rgb PE + concat
+                # + transformer + pts PE + NeRF MLP in ONE kernel, weights
+                # VMEM-resident (ops/fused_tail.py).  The ONLY materialized
+                # intermediates are the raw gather outputs (patches, rgb) —
+                # the round-2 v1 kernel lost end-to-end because the
+                # combined (V, N, 155) stack had to materialize while XLA
+                # fuses those same ops into its transformer for free.
+                # Eval-only fast path — gradient/smooth paths take the XLA
+                # branch below, so training semantics are untouched.
                 from mpsnerf_tpu.ops.fused_tail import (
-                    extract_tail_weights, tail_fused,
+                    extract_tail_weights, tail_fused_patches,
+                )
+                from mpsnerf_tpu.ops.grid_sample import (
+                    gather_patches_2d, grid_sample_2d_patch,
                 )
 
-                feats = self._view_features(
-                    sp_input, latent, world_src, fuse=False
-                )  # (V, K, C)
+                uv, image_size = self._project_uv(sp_input, world_src)
+                size = jnp.asarray(image_size, uv.dtype)
+                coords = 2.0 * uv / size - 1.0
+                patches, wxw, wyw = gather_patches_2d(latent, coords)
+                v_views, k_pts = coords.shape[0], can_pts.shape[0]
+                c_lat = latent.shape[1]
+                patches = patches.reshape(v_views, k_pts, 4 * c_lat)
+                # bf16 patches halve the kernel's dominant VMEM input
+                # buffer (block 512 OOMs with fp32 patches) and the HBM
+                # stream; the combine accumulates fp32, so the deviation
+                # is one bf16 quantization of the latent — inside the
+                # bf16 compute path's own noise floor
+                patches = patches.astype(jnp.bfloat16)
+                rgb_s = grid_sample_2d_patch(
+                    sp_input["img_all"], coords
+                ).transpose(0, 2, 1)  # (V, K, 3)
+
                 tw = extract_tail_weights(
                     self.variables["params"],
                     nerf_depth=self.nerf_depth,
                     nerf_skips=self.nerf_skips,
                 )
-                k_pts = can_pts.shape[0]
                 blk = 512
                 k_pad = ((k_pts + blk - 1) // blk) * blk
-                if k_pad != k_pts:
-                    feats = jnp.pad(
-                        feats, ((0, 0), (0, k_pad - k_pts), (0, 0))
-                    )
-                    cp = jnp.pad(can_pts, ((0, k_pad - k_pts), (0, 0)))
-                else:
-                    cp = can_pts
-                rgb, alpha = tail_fused(
-                    tw, feats, cp, jax.default_backend() != "tpu"
+                pad_n = k_pad - k_pts
+
+                def padn(x):
+                    if pad_n == 0:
+                        return x
+                    width = [(0, 0)] * x.ndim
+                    width[-2] = (0, pad_n)
+                    return jnp.pad(x, width)
+
+                rgb, alpha = tail_fused_patches(
+                    tw,
+                    padn(patches),
+                    padn(wxw[..., None]),
+                    padn(wyw[..., None]),
+                    padn(rgb_s),
+                    padn(can_pts),
+                    jax.default_backend() != "tpu",
                 )
                 rgb = rgb[:k_pts]
                 alpha = alpha[:k_pts]

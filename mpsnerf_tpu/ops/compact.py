@@ -43,6 +43,28 @@ def plan_compaction(mask: jnp.ndarray, capacity: int) -> Compaction:
     )
 
 
+def resize_plan(plan: Compaction, capacity: int) -> Compaction:
+    """Shrink a plan built at a larger capacity to ``capacity`` slots.
+
+    Valid because the partition is stable: slot assignments below the new
+    capacity are identical to what ``plan_compaction(mask, capacity)``
+    would produce, so a pre-pass can build ONE full-capacity plan and the
+    renderer can consume it at any bucket — no second cumsum, and the
+    pre-pass count and the render share the same plan by construction
+    (overflow divergence is impossible).
+    """
+    k = plan.gather_idx.shape[0]
+    assert capacity <= k, (capacity, k)
+    if capacity == k:
+        return plan
+    return Compaction(
+        gather_idx=plan.gather_idx[:capacity],
+        slot=jnp.minimum(plan.slot, capacity - 1),
+        take=plan.take & (plan.slot < capacity),
+        n_valid=plan.n_valid,
+    )
+
+
 def compact(plan: Compaction, x: jnp.ndarray) -> jnp.ndarray:
     """(N, ...) -> (K, ...): gather valid rows (junk in unused slots)."""
     return x[plan.gather_idx]

@@ -477,3 +477,306 @@ def _tail_fused_bwd(interpret, res, g):
 
 
 tail_fused.defvjp(_tail_fused_fwd, _tail_fused_bwd)
+
+
+# ---------------------------------------------------------------------------
+# v2: bilinear combine + rgb PE + concat fused IN-kernel
+# ---------------------------------------------------------------------------
+#
+# Round-2 finding: feeding the kernel a pre-built (V, N, 155) feature stack
+# is end-to-end SLOWER than XLA — the stack materializes, and the bilinear
+# combine / PE / concat that XLA normally fuses into the transformer's
+# first matmul become a separate memory-bound pass.  v2 takes the RAW
+# gather outputs instead (the (2,2,C) patches + clamped bilinear weights
+# from ops/grid_sample.gather_patches_2d, plus the sampled rgb and the
+# canonical points) and performs combine -> PE -> concat inside the
+# kernel, so the only thing XLA materializes is what the gather unit
+# emits anyway.
+
+RGB_FREQS = 4  # PE(rgb, 4) -> 27 ch (ref skinnning_batch.py:442)
+
+
+def _combine_pe_feats(patches_v, wx_v, wy_v, rgb_v, c, np_mod):
+    """One view's (TN, 4*C) flattened patches + (TN, 1) weights + (TN, 3)
+    rgb -> (TN, C + 27) fp32 transformer input.  Patch channels are laid
+    out [p00|p01|p10|p11] so the combine slices 128-aligned LANES (free in
+    Mosaic; sublane slicing would relayout).  Shared trace-level math
+    between the kernel and the XLA twin (identical op sequence ->
+    identical fp32 rounding)."""
+    w00 = (1.0 - wx_v) * (1.0 - wy_v)
+    w01 = wx_v * (1.0 - wy_v)
+    w10 = (1.0 - wx_v) * wy_v
+    w11 = wx_v * wy_v
+    p = patches_v.astype(jnp.float32)
+    lat = (
+        p[:, 0 * c:1 * c] * w00 + p[:, 1 * c:2 * c] * w01
+        + p[:, 2 * c:3 * c] * w10 + p[:, 3 * c:4 * c] * w11
+    )  # (TN, C)
+    pe_parts = [rgb_v]
+    for k in range(RGB_FREQS):
+        xb = rgb_v * (np_mod.pi * (2.0 ** k))
+        pe_parts.append(jnp.sin(xb))
+        pe_parts.append(jnp.cos(xb))
+    return jnp.concatenate([lat] + pe_parts, axis=-1)  # (TN, C + 27)
+
+
+def tail_reference_patches(w: TailWeights, patches, wx, wy, rgb, can_pts):
+    """XLA twin of the v2 kernel.  patches (V, N, 4*C) (any float dtype,
+    channel layout [p00|p01|p10|p11]), wx/wy (V, N, 1) fp32, rgb (V, N, 3)
+    fp32, can_pts (N, 3) fp32."""
+    v_views = patches.shape[0]
+    c = patches.shape[-1] // 4
+    feats = jnp.stack(
+        [
+            _combine_pe_feats(patches[i], wx[i], wy[i], rgb[i], c, np)
+            for i in range(v_views)
+        ],
+        axis=0,
+    )
+    return tail_reference(w, feats, can_pts)
+
+
+def _kernel_v2(patches_ref, wx_ref, wy_ref, rgb_ref, pts_ref,
+               *wrefs_and_out, v_views, heads, dim_head, depth, nerf_depth,
+               nerf_skips):
+    out_ref = wrefs_and_out[-1]
+    wrefs = wrefs_and_out[:-1]
+    it = iter(wrefs)
+
+    def nxt():
+        return next(it)[:]
+
+    ln_a = [(nxt(), nxt()) for _ in range(depth)]
+    w_qkv = [nxt() for _ in range(depth)]
+    w_out = [(nxt(), nxt()) for _ in range(depth)]
+    ln_f = [(nxt(), nxt()) for _ in range(depth)]
+    w_fc1 = [(nxt(), nxt()) for _ in range(depth)]
+    w_fc2 = [(nxt(), nxt()) for _ in range(depth)]
+    w_pts = [(nxt(), nxt()) for _ in range(nerf_depth)]
+    w_alpha = (nxt(), nxt())
+    w_feat = (nxt(), nxt())
+    w_views = (nxt(), nxt())
+    w_rgb = (nxt(), nxt())
+
+    inner = heads * dim_head
+    scale = dim_head ** -0.5
+
+    def ln(x, sb):
+        s, b = sb
+        m = jnp.mean(x, axis=-1, keepdims=True)
+        v = jnp.mean((x - m) * (x - m), axis=-1, keepdims=True)
+        y = ((x - m) * jax.lax.rsqrt(v + LN_EPS)).astype(jnp.bfloat16)
+        return y * s.astype(jnp.bfloat16) + b.astype(jnp.bfloat16)
+
+    def dense(x, wgt, b=None):
+        y = jnp.dot(
+            x.astype(jnp.bfloat16), wgt.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        ).astype(jnp.bfloat16)
+        if b is not None:
+            y = y + b.astype(jnp.bfloat16)
+        return y
+
+    def gelu_exact(x):
+        # Abramowitz-Stegun 7.1.26 (no erf lowering in Mosaic); see
+        # _kernel for the error bound
+        xf = x.astype(jnp.float32)
+        z = xf * np.float32(1.0 / np.sqrt(2.0))
+        s = jnp.sign(z)
+        az = jnp.abs(z)
+        t = 1.0 / (1.0 + 0.3275911 * az)
+        poly = t * (
+            0.254829592
+            + t * (-0.284496736
+                   + t * (1.421413741
+                          + t * (-1.453152027 + t * 1.061405429)))
+        )
+        erf = s * (1.0 - poly * jnp.exp(-az * az))
+        return (0.5 * xf * (1.0 + erf)).astype(jnp.bfloat16)
+
+    # --- in-kernel bilinear combine + rgb PE + concat (v2 prologue) ---
+    c_lat = patches_ref.shape[-1] // 4
+    xs = [
+        _combine_pe_feats(
+            patches_ref[i], wx_ref[i], wy_ref[i], rgb_ref[i], c_lat, np
+        )
+        for i in range(v_views)
+    ]
+
+    ch = jax.lax.broadcasted_iota(jnp.int32, (inner, heads), 0) // dim_head
+    hh = jax.lax.broadcasted_iota(jnp.int32, (inner, heads), 1)
+    hmask = (ch == hh).astype(jnp.bfloat16)
+    hmask_t = hmask.T
+
+    for li in range(depth):
+        ys = [ln(x, ln_a[li]) for x in xs]
+        qkvs = [dense(y, w_qkv[li]) for y in ys]
+        qs = [t[:, :inner] for t in qkvs]
+        ks = [t[:, inner:2 * inner] for t in qkvs]
+        vs = [t[:, 2 * inner:] for t in qkvs]
+        logits = [
+            [
+                jnp.dot(
+                    qs[i] * ks[j], hmask,
+                    preferred_element_type=jnp.float32,
+                ) * scale
+                for j in range(v_views)
+            ]
+            for i in range(v_views)
+        ]
+        attns = []
+        for i in range(v_views):
+            m = logits[i][0]
+            for l in logits[i][1:]:
+                m = jnp.maximum(m, l)
+            exps = [jnp.exp(l - m) for l in logits[i]]
+            denom = sum(exps)
+            mix = sum(
+                jnp.dot(
+                    (e / denom).astype(jnp.bfloat16), hmask_t,
+                    preferred_element_type=jnp.float32,
+                ).astype(jnp.bfloat16) * vs[j]
+                for j, e in enumerate(exps)
+            )
+            attns.append(mix)
+        xs = [
+            x + dense(a, *w_out[li]).astype(jnp.float32)
+            for x, a in zip(xs, attns)
+        ]
+        ys = [ln(x, ln_f[li]) for x in xs]
+        xs = [
+            x + dense(
+                gelu_exact(dense(y, *w_fc1[li])),
+                *w_fc2[li],
+            ).astype(jnp.float32)
+            for x, y in zip(xs, ys)
+        ]
+
+    f1 = xs[0]
+    f2 = xs[1] if v_views > 1 else xs[0]
+
+    pts = pts_ref[:]
+    pe_parts = [pts]
+    for k in range(NUM_FREQS):
+        xb = pts * (np.pi * (2.0 ** k))
+        pe_parts.append(jnp.sin(xb))
+        pe_parts.append(jnp.cos(xb))
+    pe = jnp.concatenate(pe_parts, axis=-1)
+
+    xin = jnp.concatenate([pe, f1], axis=-1).astype(jnp.bfloat16)
+    h = xin
+    for i in range(nerf_depth):
+        h = jnp.maximum(dense(h, *w_pts[i]), 0)
+        if i in nerf_skips:
+            h = jnp.concatenate([xin, h], axis=-1)
+    alpha = dense(h, *w_alpha)
+    feat = dense(h, *w_feat)
+    h2 = jnp.concatenate([feat, f2.astype(jnp.bfloat16)], axis=-1)
+    h2 = jnp.maximum(dense(h2, *w_views), 0)
+    rgb = dense(h2, *w_rgb)
+    out = jnp.concatenate([rgb, alpha], axis=-1).astype(jnp.float32)
+    out_ref[:, :] = out
+
+
+def _weight_arrays(w: TailWeights):
+    """Flatten the weights in exactly the order the kernels consume them;
+    matmul weights pre-cast to bf16 once per call, LN params fp32."""
+    depth = len(w.w_qkv)
+    nerf_depth = len(w.w_pts)
+
+    def bf(a):
+        return a.astype(jnp.bfloat16)
+
+    arrays = []
+    for li in range(depth):
+        arrays += [w.ln_a_s[li].reshape(1, -1), w.ln_a_b[li].reshape(1, -1)]
+    arrays += [bf(w.w_qkv[li]) for li in range(depth)]
+    for li in range(depth):
+        arrays += [bf(w.w_out[li]), bf(w.b_out[li]).reshape(1, -1)]
+    for li in range(depth):
+        arrays += [w.ln_f_s[li].reshape(1, -1), w.ln_f_b[li].reshape(1, -1)]
+    for li in range(depth):
+        arrays += [bf(w.w_fc1[li]), bf(w.b_fc1[li]).reshape(1, -1)]
+    for li in range(depth):
+        arrays += [bf(w.w_fc2[li]), bf(w.b_fc2[li]).reshape(1, -1)]
+    for i in range(nerf_depth):
+        arrays += [bf(w.w_pts[i]), bf(w.b_pts[i]).reshape(1, -1)]
+    arrays += [
+        bf(w.w_alpha), bf(w.b_alpha).reshape(1, -1),
+        bf(w.w_feat), bf(w.b_feat).reshape(1, -1),
+        bf(w.w_views), bf(w.b_views).reshape(1, -1),
+        bf(w.w_rgb), bf(w.b_rgb).reshape(1, -1),
+    ]
+    return arrays
+
+
+def _tail_fused_patches_impl(w: TailWeights, patches, wx, wy, rgb, can_pts,
+                             block=None, interpret=False):
+    import os
+
+    if block is None:
+        block = int(os.environ.get("MPSNERF_FUSED_BLOCK", "512"))
+    v_views, n, four_c = patches.shape
+    assert four_c % 4 == 0, patches.shape
+    assert n % block == 0, (n, block)
+    depth = len(w.w_qkv)
+    nerf_depth = len(w.w_pts)
+
+    weight_arrays = _weight_arrays(w)
+    kern = functools.partial(
+        _kernel_v2, v_views=v_views, heads=w.heads, dim_head=w.dim_head,
+        depth=depth, nerf_depth=nerf_depth, nerf_skips=w.nerf_skips,
+    )
+    grid = n // block
+    out = pl.pallas_call(
+        kern,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((v_views, block, four_c),
+                         lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((v_views, block, 1), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((v_views, block, 1), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((v_views, block, 3), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block, 3), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ] + [
+            pl.BlockSpec(a.shape, (lambda i, nd=a.ndim: (0,) * nd),
+                         memory_space=pltpu.VMEM)
+            for a in weight_arrays
+        ],
+        out_specs=pl.BlockSpec((block, 4), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, 4), jnp.float32),
+        interpret=interpret,
+    )(patches, wx, wy, rgb, can_pts, *weight_arrays)
+    return out[:, :3], out[:, 3]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
+def tail_fused_patches(w: TailWeights, patches, wx, wy, rgb, can_pts,
+                       interpret=False):
+    """v2 fused tail: raw patches in, composited-ready (rgb, alpha) out.
+    Custom VJP: forward = Pallas kernel, backward = XLA twin (training
+    takes the unfused model path anyway; this keeps jax.vjp total)."""
+    return _tail_fused_patches_impl(
+        w, patches, wx, wy, rgb, can_pts, interpret=interpret
+    )
+
+
+def _tail_fused_patches_fwd(w, patches, wx, wy, rgb, can_pts, interpret):
+    return _tail_fused_patches_impl(
+        w, patches, wx, wy, rgb, can_pts, interpret=interpret
+    ), (w, patches, wx, wy, rgb, can_pts)
+
+
+def _tail_fused_patches_bwd(interpret, res, g):
+    w, patches, wx, wy, rgb, can_pts = res
+    _, vjp = jax.vjp(tail_reference_patches, w, patches, wx, wy, rgb,
+                     can_pts)
+    return vjp(g)
+
+
+tail_fused_patches.defvjp(_tail_fused_patches_fwd, _tail_fused_patches_bwd)

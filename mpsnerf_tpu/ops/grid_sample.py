@@ -58,6 +58,44 @@ def grid_sample_2d(image: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
     return out
 
 
+def gather_patches_2d(image: jnp.ndarray, coords: jnp.ndarray):
+    """The un-combined form of :func:`grid_sample_2d_patch`: raw (2, 2, C)
+    border-clipped patches plus the clamped bilinear weights, for consumers
+    that fuse the combine into a kernel (ops/fused_tail.py — combining in
+    XLA here would materialize the full feature stack the kernel exists to
+    avoid).
+
+    image: (V, C, H, W); coords: (V, N, 2) in [-1, 1].
+    Returns ``(patches (V, N, 2, 2, C), wx (V, N), wy (V, N))`` where the
+    combined value is
+    ``p00*(1-wx)(1-wy) + p01*wx(1-wy) + p10*(1-wx)wy + p11*wx*wy``.
+    """
+    v, c, h, w = image.shape
+    ix = (coords[..., 0] + 1.0) * 0.5 * (w - 1)
+    iy = (coords[..., 1] + 1.0) * 0.5 * (h - 1)
+
+    x0 = jnp.clip(jnp.floor(ix), 0, w - 2).astype(jnp.int32)
+    y0 = jnp.clip(jnp.floor(iy), 0, h - 2).astype(jnp.int32)
+    wx = jnp.clip(ix - x0.astype(ix.dtype), 0.0, 1.0)
+    wy = jnp.clip(iy - y0.astype(iy.dtype), 0.0, 1.0)
+
+    img_hwc = image.transpose(0, 2, 3, 1)
+    idx = jnp.stack([y0, x0], axis=-1)  # (V, N, 2)
+
+    def per_view(srcv, idxv):
+        dn = jax.lax.GatherDimensionNumbers(
+            offset_dims=(1, 2, 3),
+            collapsed_slice_dims=(),
+            start_index_map=(0, 1),
+        )
+        return jax.lax.gather(
+            srcv, idxv, dn, slice_sizes=(2, 2, c),
+            mode=jax.lax.GatherScatterMode.CLIP,
+        )  # (N, 2, 2, C)
+
+    return jax.vmap(per_view)(img_hwc, idx), wx, wy
+
+
 @jax.custom_vjp
 def grid_sample_2d_patch(image: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
     """Bit-identical to :func:`grid_sample_2d`, restructured for TPU.
@@ -78,32 +116,9 @@ def grid_sample_2d_patch(image: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray
 
     image: (V, C, H, W); coords: (V, N, 2) in [-1, 1].  Returns (V, C, N).
     """
-    v, c, h, w = image.shape
-    ix = (coords[..., 0] + 1.0) * 0.5 * (w - 1)
-    iy = (coords[..., 1] + 1.0) * 0.5 * (h - 1)
-
-    x0 = jnp.clip(jnp.floor(ix), 0, w - 2).astype(jnp.int32)
-    y0 = jnp.clip(jnp.floor(iy), 0, h - 2).astype(jnp.int32)
-    wx = jnp.clip(ix - x0.astype(ix.dtype), 0.0, 1.0)
-    wy = jnp.clip(iy - y0.astype(iy.dtype), 0.0, 1.0)
-
-    # channels-last for contiguous (2, 2, C) slices; loop-invariant, so
+    # channels-last (2, 2, C) slices; the transpose is loop-invariant, so
     # XLA's while-LICM hoists it out of any surrounding lax.map
-    img_hwc = image.transpose(0, 2, 3, 1)
-    idx = jnp.stack([y0, x0], axis=-1)  # (V, N, 2)
-
-    def per_view(srcv, idxv):
-        dn = jax.lax.GatherDimensionNumbers(
-            offset_dims=(1, 2, 3),
-            collapsed_slice_dims=(),
-            start_index_map=(0, 1),
-        )
-        return jax.lax.gather(
-            srcv, idxv, dn, slice_sizes=(2, 2, c),
-            mode=jax.lax.GatherScatterMode.CLIP,
-        )  # (N, 2, 2, C)
-
-    p = jax.vmap(per_view)(img_hwc, idx)  # (V, N, 2, 2, C)
+    p, wx, wy = gather_patches_2d(image, coords)  # (V, N, 2, 2, C)
     out = (
         p[:, :, 0, 0, :] * ((1 - wx) * (1 - wy))[..., None]
         + p[:, :, 0, 1, :] * (wx * (1 - wy))[..., None]

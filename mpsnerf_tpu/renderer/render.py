@@ -177,6 +177,7 @@ def render_rays_compact(
     train: bool = False,
     occupancy: bool = False,
     white_bkgd: bool = False,
+    plan=None,  # optional precomputed Compaction (>= capacity slots)
 ):
     """Whole-image render with GLOBAL candidate compaction.
 
@@ -198,10 +199,17 @@ def render_rays_compact(
     NOT exact — callers must check (the eval runner re-renders at a
     larger capacity).
 
-    Requires ``tp_input["body_grid"]`` (ops/body_grid.py).
+    Requires ``tp_input["body_grid"]`` (ops/body_grid.py) — unless a
+    precomputed ``plan`` is supplied (``plan_rays_compact``), in which
+    case the in-render cull + cumsum are skipped entirely: the eval
+    runner's capacity pre-pass already built the plan, and recomputing it
+    here was ~30% of per-view latency.  The supplied plan must cover the
+    SAME deterministic sample set (same key, perturb=0).
     """
     from mpsnerf_tpu.ops.body_grid import grid_lookup
-    from mpsnerf_tpu.ops.compact import plan_compaction, compact, expand
+    from mpsnerf_tpu.ops.compact import (
+        plan_compaction, resize_plan, compact, expand,
+    )
     from mpsnerf_tpu.models.mps_nerf import MASK_FILL
     from mpsnerf_tpu.smpl.lbs import PoseTransforms, world_to_smpl
 
@@ -219,9 +227,12 @@ def render_rays_compact(
     ).reshape(-1, 3)
 
     tf_t = PoseTransforms.create(smpl, tp_input["params"])
-    q = world_to_smpl(jax.lax.stop_gradient(pts), tf_t.R, tf_t.Th)
-    cand = grid_lookup(tp_input["body_grid"], q).astype(jnp.int32)
-    plan = plan_compaction(cand, capacity)
+    if plan is None:
+        q = world_to_smpl(jax.lax.stop_gradient(pts), tf_t.R, tf_t.Th)
+        cand = grid_lookup(tp_input["body_grid"], q).astype(jnp.int32)
+        plan = plan_compaction(cand, capacity)
+    else:
+        plan = resize_plan(plan, capacity)
     n_dropped = jnp.maximum(plan.n_valid - capacity, 0).astype(jnp.int32)
 
     cpts_flat = compact(plan, pts)
@@ -308,6 +319,44 @@ def render_rays_compact(
         white_bkgd=white_bkgd,
     )
     return out.rgb_map, out.disp_map, out.acc_map, n_dropped
+
+
+def plan_rays_compact(
+    smpl: SMPLModel,
+    tp_input: Dict[str, Any],
+    rays_o: jnp.ndarray,
+    rays_d: jnp.ndarray,
+    near: jnp.ndarray,
+    far: jnp.ndarray,
+    key: jax.Array,
+    n_samples: int,
+    perturb: float = 0.0,
+    cap_max: int | None = None,
+):
+    """Capacity pre-pass for :func:`render_rays_compact`: the body-grid
+    cull + ONE full-size compaction plan over the view's deterministic
+    sample set.  ``plan.n_valid`` is the exact candidate count (what the
+    old count-only pre-pass returned) and the plan itself feeds the
+    renderer via ``plan=``, which then skips its in-render cull + cumsum —
+    the two passes share one plan, so pre-pass/render overflow divergence
+    is impossible by construction.
+
+    ``cap_max`` defaults to the full sample count (never drops).
+    """
+    from mpsnerf_tpu.ops.body_grid import grid_lookup
+    from mpsnerf_tpu.ops.compact import plan_compaction
+    from mpsnerf_tpu.smpl.lbs import PoseTransforms, world_to_smpl
+
+    z_vals = stratified_z_vals(
+        key, near[:, None], far[:, None], n_samples, perturb
+    )
+    pts = (
+        rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., None]
+    ).reshape(-1, 3)
+    tf_t = PoseTransforms.create(smpl, tp_input["params"])
+    q = world_to_smpl(pts, tf_t.R, tf_t.Th)
+    cand = grid_lookup(tp_input["body_grid"], q).astype(jnp.int32)
+    return plan_compaction(cand, cap_max or pts.shape[0])
 
 
 def render_image(

@@ -116,13 +116,16 @@ class TestFusedTail:
         )
 
         def q():
+            # closes over ``model`` — rebinding it below switches paths
             return model.apply(
                 variables, smpl, inp, inp, latent, pts, vd,
                 train=False, method=MPSNeRF.query,
             )
 
         base = q()
-        monkeypatch.setenv("MPSNERF_FUSED_TAIL", "force")
+        # fused_tail is a construction-time model field now (the env var
+        # is read once in the field default) — select it via clone
+        model = model.clone(fused_tail="force")
         fused = q()
         body = np.asarray(base.pts_mask) > 0
         assert body.any()
@@ -138,6 +141,117 @@ class TestFusedTail:
         np.testing.assert_array_equal(
             np.asarray(fused.sigma)[~body], np.asarray(base.sigma)[~body]
         )
+
+    def test_v2_twin_matches_feats_reference(self, setup):
+        """tail_reference_patches (combine+PE in the twin) == building the
+        feature stack by hand and calling tail_reference."""
+        from mpsnerf_tpu.ops.fused_tail import (
+            tail_reference_patches, RGB_FREQS,
+        )
+        from mpsnerf_tpu.ops.positional import positional_encoding
+
+        model, variables, _, pts = setup
+        w = extract_tail_weights(variables["params"])
+        n = pts.shape[0]
+        rng = np.random.default_rng(3)
+        c = 128
+        patches = jnp.asarray(
+            rng.standard_normal((3, n, 4 * c)).astype(np.float32)
+        )
+        wx = jnp.asarray(rng.uniform(0, 1, (3, n, 1)).astype(np.float32))
+        wy = jnp.asarray(rng.uniform(0, 1, (3, n, 1)).astype(np.float32))
+        rgb_s = jnp.asarray(
+            rng.uniform(0, 1, (3, n, 3)).astype(np.float32)
+        )
+
+        lat = (
+            patches[..., 0 * c:1 * c] * (1 - wx) * (1 - wy)
+            + patches[..., 1 * c:2 * c] * wx * (1 - wy)
+            + patches[..., 2 * c:3 * c] * (1 - wx) * wy
+            + patches[..., 3 * c:4 * c] * wx * wy
+        )
+        feats = jnp.concatenate(
+            [lat, positional_encoding(rgb_s, RGB_FREQS)], axis=-1
+        )
+        rgb_r, alpha_r = tail_reference(w, feats, pts)
+        rgb_p, alpha_p = tail_reference_patches(
+            w, patches, wx, wy, rgb_s, pts
+        )
+        # the twin's sequential combine rounds fp32 slightly differently
+        # from the broadcast expression above; after the bf16 cast that is
+        # at most one bf16 ulp on a fraction of elements
+        np.testing.assert_allclose(
+            np.asarray(rgb_p), np.asarray(rgb_r), atol=2e-3, rtol=0
+        )
+        np.testing.assert_allclose(
+            np.asarray(alpha_p), np.asarray(alpha_r), atol=2e-3, rtol=0
+        )
+
+    def test_v2_kernel_matches_twin(self, setup):
+        from mpsnerf_tpu.ops.fused_tail import (
+            tail_fused_patches, tail_reference_patches,
+        )
+
+        model, variables, _, pts = setup
+        w = extract_tail_weights(variables["params"])
+        n = pts.shape[0]
+        rng = np.random.default_rng(4)
+        c = 128
+        patches = jnp.asarray(
+            rng.standard_normal((3, n, 4 * c)).astype(np.float32)
+        )
+        wx = jnp.asarray(rng.uniform(0, 1, (3, n, 1)).astype(np.float32))
+        wy = jnp.asarray(rng.uniform(0, 1, (3, n, 1)).astype(np.float32))
+        rgb_s = jnp.asarray(
+            rng.uniform(0, 1, (3, n, 3)).astype(np.float32)
+        )
+        rgb_r, alpha_r = tail_reference_patches(
+            w, patches, wx, wy, rgb_s, pts
+        )
+        rgb_k, alpha_k = tail_fused_patches(
+            w, patches, wx, wy, rgb_s, pts, True  # interpret
+        )
+        np.testing.assert_allclose(
+            np.asarray(rgb_k), np.asarray(rgb_r), atol=5e-3, rtol=0
+        )
+        np.testing.assert_allclose(
+            np.asarray(alpha_k), np.asarray(alpha_r), atol=5e-3, rtol=0
+        )
+
+    def test_v2_backward_is_reference_grad(self, setup):
+        from mpsnerf_tpu.ops.fused_tail import (
+            tail_fused_patches, tail_reference_patches,
+        )
+
+        model, variables, _, pts = setup
+        w = extract_tail_weights(variables["params"])
+        n = pts.shape[0]
+        rng = np.random.default_rng(5)
+        c = 128
+        args = (
+            jnp.asarray(
+                rng.standard_normal((3, n, 4 * c)).astype(np.float32)
+            ),
+            jnp.asarray(rng.uniform(0, 1, (3, n, 1)).astype(np.float32)),
+            jnp.asarray(rng.uniform(0, 1, (3, n, 1)).astype(np.float32)),
+            jnp.asarray(rng.uniform(0, 1, (3, n, 3)).astype(np.float32)),
+            pts,
+        )
+
+        def loss_fused(w_, *a):
+            rgb, alpha = tail_fused_patches(w_, *a, True)
+            return jnp.sum(rgb) + jnp.sum(alpha * 0.5)
+
+        def loss_ref(w_, *a):
+            rgb, alpha = tail_reference_patches(w_, *a)
+            return jnp.sum(rgb) + jnp.sum(alpha * 0.5)
+
+        g_f = jax.grad(loss_fused, argnums=(1, 5))(w, *args)
+        g_r = jax.grad(loss_ref, argnums=(1, 5))(w, *args)
+        for a, b in zip(jax.tree.leaves(g_f), jax.tree.leaves(g_r)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=1e-6
+            )
 
     def test_backward_is_reference_grad(self, setup):
         """The custom VJP must equal grads of tail_reference exactly."""

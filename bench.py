@@ -128,60 +128,14 @@ def main():
 
     if MODE == "compact":
         from mpsnerf_tpu.renderer.render import (
-            plan_rays_compact, render_rays_compact,
+            fine_rays_compact, plan_rays_compact, render_rays_compact,
         )
-        from mpsnerf_tpu.ops.body_grid import grid_lookup
-        from mpsnerf_tpu.smpl.lbs import PoseTransforms, world_to_smpl
 
         TILE = int(os.environ.get("MPSNERF_BENCH_TILE", "16384"))
         ro = jnp.asarray(ray_o[sel])
         rd = jnp.asarray(ray_d[sel])
         nr = jnp.asarray(near_all[sel])
         fr = jnp.asarray(far_all[sel])
-
-        # capacity pre-pass: count the image's grid candidates AND the
-        # exact 5 cm body points once (one setup call per scene; eval
-        # sweeps reuse it across views)
-        @jax.jit
-        def count_candidates(a, b, c, d):
-            from mpsnerf_tpu.ops.composite import stratified_z_vals
-            from mpsnerf_tpu.ops.knn import nearest_vertex
-            from mpsnerf_tpu.models.mps_nerf import HUMAN_DIST_THRESHOLD_SQ
-            from mpsnerf_tpu.ops.compact import plan_compaction, compact
-
-            z = stratified_z_vals(key, c[:, None], d[:, None], N_SAMPLES, 0.0)
-            p = (a[:, None, :] + b[:, None, :] * z[..., None]).reshape(-1, 3)
-            tf_t = PoseTransforms.create(smpl, inp["params"])
-            q = world_to_smpl(p, tf_t.R, tf_t.Th)
-            cand = grid_lookup(inp["body_grid"], q).astype(jnp.int32)
-            # fine count over a generous static candidate buffer
-            plan = plan_compaction(cand, p.shape[0] // 2)
-            qc = compact(plan, q)
-            tar = world_to_smpl(inp["vertices"], tf_t.R, tf_t.Th)
-            d2, _ = nearest_vertex(qc, tar)
-            dom = (
-                jax.lax.broadcasted_iota(
-                    jnp.int32, (qc.shape[0], 1), 0
-                )[:, 0] < plan.n_valid
-            )
-            fine = jnp.sum(
-                ((d2 < HUMAN_DIST_THRESHOLD_SQ) & dom).astype(jnp.int32)
-            )
-            return jnp.sum(cand), fine
-
-        n_cand, n_fine = (int(x) for x in count_candidates(ro, rd, nr, fr))
-        # the pre-pass counts the EXACT deterministic sample set the
-        # render uses (same key, perturb=0), so no headroom is needed —
-        # the warm-up's n_dropped == 0 assert would catch any drift
-        capacity = ((n_cand + TILE - 1) // TILE) * TILE
-        # second-stage exact-mask compaction: measured net-negative here
-        # (193.8k vs 213.5k rays/s — the standalone candidate-wide 1-NN
-        # plus the extra plan/expand outweigh the 20% tail shrink), so
-        # off by default; MPSNERF_BENCH_FINE=1 enables it
-        if os.environ.get("MPSNERF_BENCH_FINE", "0") == "1":
-            fine_capacity = ((n_fine + TILE - 1) // TILE) * TILE
-        else:
-            fine_capacity = 0
 
         @jax.jit
         def plan_fn(a, b, c, d):
@@ -190,20 +144,50 @@ def main():
                 perturb=0.0,
             )
 
+        # exact capacities from one setup pre-pass: the plans cover the
+        # EXACT deterministic sample set the render uses (same key,
+        # perturb=0), so no headroom is needed — the warm-up's
+        # n_dropped == 0 assert would catch any drift
+        plan0 = plan_fn(ro, rd, nr, fr)
+        n_cand = int(plan0.n_valid)
+        capacity = ((n_cand + TILE - 1) // TILE) * TILE
+
         @jax.jit
-        def image_fn(a, b, c, d, k, plan):
+        def fine_fn(a, b, c, d, plan):
+            return fine_rays_compact(
+                smpl, inp, a, b, c, d, key, n_samples=N_SAMPLES,
+                plan=plan, capacity=capacity, perturb=0.0,
+            )
+
+        # second-stage exact-mask compaction (default on, matching the
+        # eval runner): the 1-NN mask/ids come from the fine pre-pass,
+        # the tail runs only on true 5 cm body points and skips its
+        # internal 1-NN (235.9k vs 231.4k rays/s measured at 512^2)
+        USE_FINE = os.environ.get("MPSNERF_BENCH_FINE", "1") == "1"
+        if USE_FINE:
+            fplan0, _ = fine_fn(ro, rd, nr, fr, plan0)
+            n_fine = int(fplan0.n_valid)
+            fine_capacity = ((n_fine + TILE - 1) // TILE) * TILE
+        else:
+            fine_capacity = 0
+
+        @jax.jit
+        def image_fn(a, b, c, d, k, plan, fplan, fids):
             return render_rays_compact(
                 model, variables, smpl, inp, inp, latent, a, b, c, d, k,
                 n_samples=N_SAMPLES, capacity=capacity, tile=TILE,
                 fine_capacity=fine_capacity, perturb=0.0, train=False,
-                plan=plan,
+                plan=plan, fine_plan=fplan, fine_ids=fids,
             )
 
         def render_full():
-            # the plan pre-pass is real per-view work (the eval runner
-            # pays it per view) — inside the timed region
+            # the pre-passes are real per-view work (the eval runner pays
+            # them per view) — inside the timed region
             plan = plan_fn(ro, rd, nr, fr)
-            out = image_fn(ro, rd, nr, fr, key, plan)
+            fplan = fids = None
+            if USE_FINE:
+                fplan, fids = fine_fn(ro, rd, nr, fr, plan)
+            out = image_fn(ro, rd, nr, fr, key, plan, fplan, fids)
             rgb = np.asarray(out[0])
             img = np.zeros((n_img_rays, 3), np.float32)
             img[sel] = rgb

@@ -98,7 +98,9 @@ class ViewRenderer:
         shuffle_rays: bool = True,
         global_compact: bool = True,
         tile: int = 16384,
+        fine: bool = True,  # stage-2 exact-mask pre-pass (see prewarm)
     ):
+        self.fine = fine
         if (
             eval_compact_fraction is not None
             and model.compact_fraction is not None
@@ -150,7 +152,7 @@ class ViewRenderer:
         @jax.jit
         def encode_fn(variables, images):
             return model_.apply(variables, images, train=False,
-                                method=MPSNeRF.encode)
+                                method="encode")
 
         self._encode_fn = encode_fn
 
@@ -168,20 +170,23 @@ class ViewRenderer:
             import functools
 
             from mpsnerf_tpu.renderer.render import (
-                plan_rays_compact, render_rays_compact,
+                fine_rays_compact, plan_rays_compact, render_rays_compact,
             )
 
             @functools.partial(
-                jax.jit, static_argnames=("capacity", "tile_")
+                jax.jit, static_argnames=("capacity", "fine_capacity",
+                                          "tile_")
             )
             def global_fn(variables, smpl, sp, tp, latent, ro, rd, nr, fr,
-                          plan, capacity, tile_):
+                          plan, fplan, fids, capacity, fine_capacity,
+                          tile_):
                 return render_rays_compact(
                     model_, variables, smpl, sp, tp, latent,
                     ro, rd, nr, fr, jax.random.PRNGKey(0),
                     n_samples=n_samples_, capacity=capacity, tile=tile_,
+                    fine_capacity=fine_capacity,
                     perturb=0.0, train=False, white_bkgd=white_,
-                    plan=plan,
+                    plan=plan, fine_plan=fplan, fine_ids=fids,
                 )
 
             @jax.jit
@@ -191,8 +196,29 @@ class ViewRenderer:
                     n_samples=n_samples_, perturb=0.0,
                 )
 
+            @functools.partial(jax.jit, static_argnames=("capacity",))
+            def fine_fn(smpl, tp, ro, rd, nr, fr, plan, capacity):
+                return fine_rays_compact(
+                    smpl, tp, ro, rd, nr, fr, jax.random.PRNGKey(0),
+                    n_samples=n_samples_, plan=plan, capacity=capacity,
+                    perturb=0.0,
+                )
+
             self._global_fn = global_fn
             self._plan_fn = plan_fn
+            self._fine_fn = fine_fn
+
+    def _bucket_neighbors(self, count: int, spread: int = 1):
+        """The ladder bucket for ``count`` plus ``spread`` neighbours on
+        each side (prewarm: view-to-view counts drift within ~1 step)."""
+        ladder, c = [], 1
+        while c * self.tile < self._capacity_bucket(count) * 2:
+            ladder.append(c * self.tile)
+            c = max(c + 1, int(np.ceil(c * 1.26)))
+        ladder.append(c * self.tile)
+        center = ladder.index(self._capacity_bucket(count))
+        lo = max(0, center - spread)
+        return ladder[lo:center + spread + 1]
 
     def _capacity_bucket(self, count: int) -> int:
         """Smallest bucket >= count: tile multiples on a ~1.26x geometric
@@ -254,14 +280,27 @@ class ViewRenderer:
         plan = self._plan_fn(smpl, tp, ro_d, rd_d, nr_d, fr_d)
         count = int(plan.n_valid)
         cap = self._capacity_bucket(count)
+        if self.fine:
+            # stage-2 pre-pass: exact 5 cm mask + nearest-vertex ids, so
+            # the tail runs only true body points (~1.35x fewer) and
+            # skips its internal 1-NN (measured +2% over the grid-only
+            # path at 512^2, bench MPSNERF_BENCH_FINE=1)
+            fplan, fids = self._fine_fn(
+                smpl, tp, ro_d, rd_d, nr_d, fr_d, plan, capacity=cap
+            )
+            fcap = self._capacity_bucket(int(fplan.n_valid))
+        else:
+            fplan = fids = None
+            fcap = 0
         out = self._global_fn(
             variables, smpl, sp, tp, latent, ro_d, rd_d, nr_d, fr_d,
-            plan, capacity=cap, tile_=self.tile,
+            plan, fplan, fids, capacity=cap, fine_capacity=fcap,
+            tile_=self.tile,
         )
         rgb = np.asarray(out[0])
-        # the render consumes the pre-pass's OWN plan resized to a bucket
-        # >= n_valid, so dropping is structurally impossible
-        assert int(out[3]) == 0, (int(out[3]), count, cap)
+        # the render consumes the pre-passes' OWN plans resized to
+        # buckets >= their n_valid, so dropping is structurally impossible
+        assert int(out[3]) == 0, (int(out[3]), count, cap, fcap)
         return rgb[:n]
 
     def _prep_view(self, variables, sp_item, tp_item, k, ray_mask=None):
@@ -277,7 +316,16 @@ class ViewRenderer:
             for it in (tp_item, sp_item):
                 if "spconv_plan" not in it and "coord" in it:
                     attach_spconv_plan(it)
-        skip = ("msk_all", "_latent_cache")
+        # upload ONLY what the device render reads.  The per-view ray/rgb
+        # stacks are huge ((24, H*W, 3) each at full res, ~70 MB/item) and
+        # consumed exclusively on host (sliced per view below) — shipping
+        # them through the tunnel was the hidden ~2 s first-view-per-item
+        # cost the round-2 latency artifact blamed on recompiles.
+        skip = (
+            "msk_all", "_latent_cache", "ray_o_all", "ray_d_all",
+            "rgb_all", "near_all", "far_all", "mask_at_box_all",
+            "bkgd_msk_all", "msk_cihp_all", "o_img_all",
+        )
         sp = to_device_input(
             {kk: vv for kk, vv in sp_item.items() if kk not in skip}
         )
@@ -323,11 +371,28 @@ class ViewRenderer:
             caps.append(c)
             c = self._capacity_bucket(c + 1)
         for cap in caps:
-            out = self._global_fn(
-                variables, smpl, sp, tp, latent, ro_d, rd_d, nr_d, fr_d,
-                plan, capacity=cap, tile_=self.tile,
-            )
-            jax.block_until_ready(out)
+            if self.fine:
+                fplan, fids = self._fine_fn(
+                    smpl, tp, ro_d, rd_d, nr_d, fr_d, plan, capacity=cap
+                )
+                # fine counts drift with the pose silhouette: warm the
+                # whole neighbourhood so no (cap, fcap) pair recompiles
+                # mid-protocol
+                fcaps = [
+                    f for f in self._bucket_neighbors(int(fplan.n_valid))
+                    if f <= cap
+                ]
+            else:
+                fplan = fids = None
+                fcaps = [0]
+            for fcap in fcaps:
+                out = self._global_fn(
+                    variables, smpl, sp, tp, latent,
+                    ro_d, rd_d, nr_d, fr_d,
+                    plan, fplan, fids, capacity=cap, fine_capacity=fcap,
+                    tile_=self.tile,
+                )
+                jax.block_until_ready(out)
         return caps
 
     def render_view(self, variables, sp_item: Dict, tp_item: Dict, k: int,

@@ -16,9 +16,11 @@ from mpsnerf_tpu.models.mps_nerf import MPSNeRF
 # variants share the SKinningBatch pipeline with different deform stages;
 # see lib/skinnning_batch.py:517 (DirectDeform), :883 (CorrectionBatch),
 # :1292 (CoarseBatch), :1637 (CorrectionBatchBlend)).  The numpy-era
-# ``correction_by_f3d`` family (lib/correction.py:53-751) is subsumed by
-# the batch pipeline with the correction field enabled — the per-sample
-# implementation exists in the reference only as a legacy path.
+# ``correction_by_f3d`` family gets its own faithful module
+# (models/correction_f3d.py); ``correction_by_uvh_agg`` (the reference's
+# fallthrough default, lib/correction.py:438-751) remains consolidated
+# onto the batch correction pipeline — its UVH-map machinery depends on
+# precomputed per-subject UV unwraps absent from the shipped pipeline.
 _MODEL_VARIANTS = {
     "skinning_batch": {},
     # CoarseBatch: pure LBS warp, no correction/skinning fields
@@ -46,17 +48,27 @@ _MODEL_VARIANTS = {
     },
     # CorrectionBatchBlend: blend sampled image rgb via predicted weights
     "correction_batch_blend": {"blend_rgb": True},
-    # numpy-era correction models -> correction-field pipeline
-    "correction_by_f3d": {"correction_field": True},
-    "correction_by_f3d_fagg": {"correction_field": True},
     # the reference's fallthrough default (model_selection.py:84) — UVH
-    # aggregation is likewise subsumed by the correction-field pipeline
+    # aggregation is subsumed by the correction-field pipeline
     "correction_by_uvh_agg": {"correction_field": True},
 }
 
 
-def return_model(args: Any) -> MPSNeRF:
+def return_model(args: Any):
     name = args.model
+    if name in ("correction_by_f3d", "correction_by_f3d_fagg"):
+        # numpy-era per-sample architecture (lib/correction.py:53-436,
+        # model_selection.py:9-20): dual correction fields with joint-
+        # offset conditioning, canonical-grid NeRF features, use_f2d
+        from mpsnerf_tpu.models.correction_f3d import CorrectionF3D
+
+        return CorrectionF3D(
+            use_agg=(name == "correction_by_f3d_fagg"),
+            use_f2d=bool(args.use_f2d),
+            with_viewdirs=bool(args.with_viewdirs),
+            human_sample=bool(args.human_sample),
+            use_transformer=bool(args.use_trans),
+        )
     if name not in _MODEL_VARIANTS:
         raise NotImplementedError(
             f"model '{name}' is not available "

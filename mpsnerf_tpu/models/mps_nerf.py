@@ -28,8 +28,6 @@ TPU-first restructuring vs. the reference:
 
 from __future__ import annotations
 
-import dataclasses
-import os
 from typing import Any, Dict, NamedTuple, Optional
 
 import jax
@@ -38,7 +36,7 @@ import numpy as np
 import flax.linen as nn
 
 from mpsnerf_tpu.models.layers import TorchLinear
-from mpsnerf_tpu.ops.compact import plan_compaction, compact, expand, compose
+from mpsnerf_tpu.ops.compact import plan_compaction, compact, expand
 from mpsnerf_tpu.models.resnet import SpatialEncoder
 from mpsnerf_tpu.models.transformer import ViewFusionTransformer
 from mpsnerf_tpu.models.deform import DeformField
@@ -156,20 +154,6 @@ class MPSNeRF(nn.Module):
     # use tighter caps with shuffled rays (see eval/runner.ViewRenderer).
     # RawOutput.n_dropped reports any overflow.
     compact_fraction: Optional[float] = 0.5
-    # two-phase nearest-vertex cull: a cheap 1-NN against a vertex
-    # subsample conservatively discards far points (triangle inequality —
-    # exact) before the full-table 1-NN runs on this fraction of points.
-    # Off by default: at 6890 vertices the compaction-plan overhead eats
-    # the saved 1-NN work (measured); worthwhile for denser vertex sets.
-    cull_fraction: Optional[float] = None
-    # fused Pallas tail (ops/fused_tail.py): "" = off, "1" = TPU kernel,
-    # "force" = interpret mode (tests).  Captured from MPSNERF_FUSED_TAIL
-    # at model CONSTRUCTION (default_factory) so the knob is an explicit
-    # hashed model field — toggling the env var mid-process has no effect
-    # on an existing model, by design, instead of silently-until-retrace.
-    fused_tail: str = dataclasses.field(
-        default_factory=lambda: os.environ.get("MPSNERF_FUSED_TAIL", "")
-    )
 
     def setup(self):
         cdt = jnp.bfloat16 if self.compute_dtype == "bfloat16" else None
@@ -385,48 +369,6 @@ class MPSNeRF(nn.Module):
                 n_dropped = jnp.maximum(
                     cplan.n_valid - cplan.gather_idx.shape[0], 0
                 ).astype(jnp.int32)
-            elif use_compact and self.cull_fraction is not None:
-                # phase 1: cheap conservative cull.  1-NN against a vertex
-                # subsample; by the triangle inequality a point farther
-                # than (5 cm + delta) from the subsample is certainly
-                # farther than 5 cm from the full set, where delta is the
-                # subsample's covering radius (computed exactly).
-                sub = tar_smpl_pts[::4]
-                d2v, _ = nearest_vertex(tar_smpl_pts, sub)
-                delta = jnp.sqrt(jnp.max(d2v))
-                d2c, _ = nearest_vertex(q_stop, sub)
-                thresh = (HUMAN_DIST_THRESHOLD_SQ ** 0.5 + delta) ** 2
-                cand = (d2c < thresh).astype(jnp.int32)
-                plan1 = plan_compaction(cand, cap_of(self.cull_fraction))
-
-                # phase 2: exact 1-NN on the candidates only
-                d2, ids_c = nearest_vertex(
-                    compact(plan1, q_stop), tar_smpl_pts
-                )
-                k1 = d2.shape[0]
-                in_domain = (
-                    jax.lax.broadcasted_iota(jnp.int32, (k1, 1), 0)[:, 0]
-                    < plan1.n_valid
-                )
-                fine = (
-                    (d2 < HUMAN_DIST_THRESHOLD_SQ) & in_domain
-                ).astype(jnp.int32)
-                plan2 = plan_compaction(fine, cap_of(self.compact_fraction))
-                # overflow accounting must include BOTH stages — compose()
-                # only carries the inner plan's n_valid
-                n_dropped = (
-                    jnp.maximum(
-                        plan1.n_valid - plan1.gather_idx.shape[0], 0
-                    )
-                    + jnp.maximum(
-                        plan2.n_valid - plan2.gather_idx.shape[0], 0
-                    )
-                ).astype(jnp.int32)
-                cplan = compose(plan1, plan2)
-                q_ids = compact(plan2, ids_c)
-                q_pts = compact(cplan, smpl_query_pts)
-                q_vd = compact(cplan, viewdirs)
-                pts_mask = cplan.take.astype(jnp.int32)
             else:
                 # single-phase: exact 1-NN on every point (ONE knn call —
                 # the reference issued separate calls for the mask and the
@@ -530,37 +472,6 @@ class MPSNeRF(nn.Module):
         t_vertices = sp_input["t_vertices"]
         instance_idx = tp_input["instance_idx"].astype(jnp.int32).reshape(())
 
-        # fused Pallas tail (flagship eval config only): see
-        # ops/fused_tail.py.  Off under init (params don't exist yet),
-        # under training / normal computation (gradients take the XLA
-        # path), and for model variants the kernel doesn't cover.
-        use_fused_tail = (
-            not train
-            and not compute_normals
-            and self.use_transformer
-            and self.append_rgb
-            and not self.with_viewdirs
-            and not self.blend_rgb
-            and self.pe_condition
-            and not (self.correction_field
-                     and self.correction_style == "instance")
-            and not self.skinning_field
-            and self.compute_dtype == "bfloat16"
-            and not self.is_initializing()
-            and (
-                # OPT-IN: standalone the kernel beats the XLA tail by ~4%
-                # (304 vs 317 ms/img), but in situ the materialized
-                # (V, K, C) feature stack it requires costs more than it
-                # saves (187k vs 214k rays/s end-to-end) — XLA fuses the
-                # gather outputs straight into the transformer.  Kept as
-                # infrastructure (weights-resident execution) pending
-                # VMEM tuning that lets larger blocks compile.
-                (jax.default_backend() == "tpu" and self.fused_tail == "1")
-                # "force": interpret-mode run on CPU (tests)
-                or self.fused_tail == "force"
-            )
-        )
-
         def tail(can_pts):
             # the 1-NN index is non-differentiable (matches the reference's
             # knn_points semantics) — stop_gradient keeps the vjp clean
@@ -584,71 +495,6 @@ class MPSNeRF(nn.Module):
             smpl_src, world_src, bweights = deform_canonical_to_source(
                 smpl, tf_s, can_pts, vert_ids_c, weights_corr, self.mean_shape
             )
-            if use_fused_tail:
-                # fused Pallas tail v2: bilinear combine + rgb PE + concat
-                # + transformer + pts PE + NeRF MLP in ONE kernel, weights
-                # VMEM-resident (ops/fused_tail.py).  The ONLY materialized
-                # intermediates are the raw gather outputs (patches, rgb) —
-                # the round-2 v1 kernel lost end-to-end because the
-                # combined (V, N, 155) stack had to materialize while XLA
-                # fuses those same ops into its transformer for free.
-                # Eval-only fast path — gradient/smooth paths take the XLA
-                # branch below, so training semantics are untouched.
-                from mpsnerf_tpu.ops.fused_tail import (
-                    extract_tail_weights, tail_fused_patches,
-                )
-                from mpsnerf_tpu.ops.grid_sample import (
-                    gather_patches_2d, grid_sample_2d_patch,
-                )
-
-                uv, image_size = self._project_uv(sp_input, world_src)
-                size = jnp.asarray(image_size, uv.dtype)
-                coords = 2.0 * uv / size - 1.0
-                patches, wxw, wyw = gather_patches_2d(latent, coords)
-                v_views, k_pts = coords.shape[0], can_pts.shape[0]
-                c_lat = latent.shape[1]
-                patches = patches.reshape(v_views, k_pts, 4 * c_lat)
-                # bf16 patches halve the kernel's dominant VMEM input
-                # buffer (block 512 OOMs with fp32 patches) and the HBM
-                # stream; the combine accumulates fp32, so the deviation
-                # is one bf16 quantization of the latent — inside the
-                # bf16 compute path's own noise floor
-                patches = patches.astype(jnp.bfloat16)
-                rgb_s = grid_sample_2d_patch(
-                    sp_input["img_all"], coords
-                ).transpose(0, 2, 1)  # (V, K, 3)
-
-                tw = extract_tail_weights(
-                    self.variables["params"],
-                    nerf_depth=self.nerf_depth,
-                    nerf_skips=self.nerf_skips,
-                )
-                blk = 512
-                k_pad = ((k_pts + blk - 1) // blk) * blk
-                pad_n = k_pad - k_pts
-
-                def padn(x):
-                    if pad_n == 0:
-                        return x
-                    width = [(0, 0)] * x.ndim
-                    width[-2] = (0, pad_n)
-                    return jnp.pad(x, width)
-
-                rgb, alpha = tail_fused_patches(
-                    tw,
-                    padn(patches),
-                    padn(wxw[..., None]),
-                    padn(wyw[..., None]),
-                    padn(rgb_s),
-                    padn(can_pts),
-                    jax.default_backend() != "tpu",
-                )
-                rgb = rgb[:k_pts]
-                alpha = alpha[:k_pts]
-                return alpha, (
-                    rgb, smpl_src, world_src, bweights, vert_ids_c,
-                    jnp.zeros_like(smpl_src),
-                )
             correction_b = jnp.zeros_like(smpl_src)
             if (
                 self.correction_field

@@ -77,17 +77,3 @@ def expand(plan: Compaction, buf: jnp.ndarray, fill) -> jnp.ndarray:
     return jnp.where(take, vals, fill)
 
 
-def compose(outer: Compaction, inner: Compaction) -> Compaction:
-    """Compose two compactions: full --outer--> K1 --inner--> K2.
-
-    The result maps full rows directly to the K2 domain, so a two-stage
-    cull (coarse candidates, then exact validity) still needs only ONE
-    gather of the full arrays and one expand.
-    """
-    k2 = inner.gather_idx.shape[0]
-    return Compaction(
-        gather_idx=outer.gather_idx[inner.gather_idx],
-        slot=jnp.clip(inner.slot[outer.slot], 0, k2 - 1),
-        take=outer.take & inner.take[outer.slot],
-        n_valid=inner.n_valid,
-    )

@@ -60,10 +60,7 @@ def grid_sample_2d(image: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
 
 def gather_patches_2d(image: jnp.ndarray, coords: jnp.ndarray):
     """The un-combined form of :func:`grid_sample_2d_patch`: raw (2, 2, C)
-    border-clipped patches plus the clamped bilinear weights, for consumers
-    that fuse the combine into a kernel (ops/fused_tail.py — combining in
-    XLA here would materialize the full feature stack the kernel exists to
-    avoid).
+    border-clipped patches plus the clamped bilinear weights.
 
     image: (V, C, H, W); coords: (V, N, 2) in [-1, 1].
     Returns ``(patches (V, N, 2, 2, C), wx (V, N), wy (V, N))`` where the

@@ -73,7 +73,7 @@ def render_rays(
         viewdirs_flat,
         train=train,
         compute_normals=compute_normals,
-        method=MPSNeRF.query,
+        method="query",
     )
 
     out = composite_rays(
@@ -177,7 +177,9 @@ def render_rays_compact(
     train: bool = False,
     occupancy: bool = False,
     white_bkgd: bool = False,
-    plan=None,  # optional precomputed Compaction (>= capacity slots)
+    plan=None,       # optional precomputed Compaction (>= capacity slots)
+    fine_plan=None,  # with fine_capacity: candidate->body Compaction
+    fine_ids=None,   # with fine_capacity: (capacity,) nearest-vertex ids
 ):
     """Whole-image render with GLOBAL candidate compaction.
 
@@ -245,47 +247,38 @@ def render_rays_compact(
 
     if fine_capacity:
         # second stage: the conservative grid keeps ~1.35x more points
-        # than the exact 5 cm test (2 cm voxels + half-diagonal reach).
-        # ONE exact 1-NN pass over the candidate buffer yields the fine
-        # mask AND the warp's nearest-vertex ids, a second cumsum
-        # compaction shrinks the tail to the true body set, and the tail
-        # tiles skip their internal 1-NN (precomputed ids).
-        from mpsnerf_tpu.models.mps_nerf import HUMAN_DIST_THRESHOLD_SQ
-        from mpsnerf_tpu.ops.knn import nearest_vertex
-
+        # than the exact 5 cm test, so the tail can shrink to the true
+        # body set.  The exact 1-NN mask + nearest-vertex ids come from
+        # the ``fine_rays_compact`` pre-pass (sharing them here means the
+        # tail tiles skip their internal 1-NN, and — like the coarse plan
+        # — pre-pass/render divergence is impossible).
         assert fine_capacity % tile == 0, (fine_capacity, tile)
-        tar_smpl = world_to_smpl(tp_input["vertices"], tf_t.R, tf_t.Th)
-        q_smpl = world_to_smpl(
-            jax.lax.stop_gradient(cpts_flat), tf_t.R, tf_t.Th
+        assert fine_plan is not None and fine_ids is not None, (
+            "fine_capacity > 0 requires the fine_rays_compact pre-pass "
+            "outputs (fine_plan, fine_ids)"
         )
-        d2, nn_ids = nearest_vertex(q_smpl, tar_smpl)
-        in_domain = (
-            jax.lax.broadcasted_iota(jnp.int32, (capacity, 1), 0)[:, 0]
-            < plan.n_valid
-        )
-        fine = ((d2 < HUMAN_DIST_THRESHOLD_SQ) & in_domain).astype(
-            jnp.int32
-        )
-        plan2 = plan_compaction(fine, fine_capacity)
+        from mpsnerf_tpu.ops.compact import resize_plan as _resize
+
+        plan2 = _resize(fine_plan, fine_capacity)
         n_dropped = n_dropped + jnp.maximum(
             plan2.n_valid - fine_capacity, 0
         ).astype(jnp.int32)
         cpts = compact(plan2, cpts_flat).reshape(-1, tile, 3)
         cvd = compact(plan2, cvd_flat).reshape(-1, tile, 3)
-        cids = compact(plan2, nn_ids).reshape(-1, tile)
+        cids = compact(plan2, fine_ids).reshape(-1, tile)
 
         def one_fine(args):
             p, v, i = args
             raw: RawOutput = model_nc.apply(
                 variables, smpl, sp_input, tp_input, latent, p, v,
-                train=train, nn_ids=i, method=MPSNeRF.query,
+                train=train, nn_ids=i, method="query",
             )
             return raw.rgb, raw.sigma
 
         rgb_t, sig_t = jax.lax.map(one_fine, (cpts, cvd, cids))
-        # nested expand (fine -> candidates -> full) costs one
-        # capacity-sized + one M-sized gather; compose() would need TWO
-        # M-sized gathers to build the flattened plan (measured slower)
+        # nested expand (fine -> candidates -> full): one capacity-sized
+        # + one M-sized gather (a flattened composed plan would need TWO
+        # M-sized gathers — measured slower)
         rgb_full = expand(
             plan, expand(plan2, rgb_t.reshape(fine_capacity, 3), MASK_FILL),
             MASK_FILL,
@@ -302,7 +295,7 @@ def render_rays_compact(
             p, v = args
             raw: RawOutput = model_nc.apply(
                 variables, smpl, sp_input, tp_input, latent, p, v,
-                train=train, method=MPSNeRF.query,
+                train=train, method="query",
             )
             return raw.rgb, raw.sigma
 
@@ -357,6 +350,56 @@ def plan_rays_compact(
     q = world_to_smpl(pts, tf_t.R, tf_t.Th)
     cand = grid_lookup(tp_input["body_grid"], q).astype(jnp.int32)
     return plan_compaction(cand, cap_max or pts.shape[0])
+
+
+def fine_rays_compact(
+    smpl: SMPLModel,
+    tp_input: Dict[str, Any],
+    rays_o: jnp.ndarray,
+    rays_d: jnp.ndarray,
+    near: jnp.ndarray,
+    far: jnp.ndarray,
+    key: jax.Array,
+    n_samples: int,
+    plan,
+    capacity: int,
+    perturb: float = 0.0,
+):
+    """Stage-2 pre-pass: ONE exact 1-NN over the candidate buffer yields
+    the true 5 cm body mask (the conservative grid keeps ~1.35x more
+    points) plus the warp's nearest-vertex ids.  Returns
+    ``(fine_plan, nn_ids)`` for :func:`render_rays_compact`'s
+    ``fine_capacity`` mode: the tail then runs only on true body points
+    and its tiles skip their internal 1-NN.
+
+    ``capacity`` must be the same static bucket the render will use;
+    ``fine_plan.n_valid`` is the exact body-point count (pick the
+    fine_capacity bucket from it).
+    """
+    from mpsnerf_tpu.models.mps_nerf import HUMAN_DIST_THRESHOLD_SQ
+    from mpsnerf_tpu.ops.compact import (
+        compact as _compact, plan_compaction, resize_plan,
+    )
+    from mpsnerf_tpu.ops.knn import nearest_vertex
+    from mpsnerf_tpu.smpl.lbs import PoseTransforms, world_to_smpl
+
+    z_vals = stratified_z_vals(
+        key, near[:, None], far[:, None], n_samples, perturb
+    )
+    pts = (
+        rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., None]
+    ).reshape(-1, 3)
+    tf_t = PoseTransforms.create(smpl, tp_input["params"])
+    plan_c = resize_plan(plan, capacity)
+    q_c = world_to_smpl(_compact(plan_c, pts), tf_t.R, tf_t.Th)
+    tar_smpl = world_to_smpl(tp_input["vertices"], tf_t.R, tf_t.Th)
+    d2, nn_ids = nearest_vertex(q_c, tar_smpl)
+    in_domain = (
+        jax.lax.broadcasted_iota(jnp.int32, (capacity, 1), 0)[:, 0]
+        < plan_c.n_valid
+    )
+    fine = ((d2 < HUMAN_DIST_THRESHOLD_SQ) & in_domain).astype(jnp.int32)
+    return plan_compaction(fine, capacity), nn_ids
 
 
 def render_image(

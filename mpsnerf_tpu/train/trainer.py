@@ -189,7 +189,7 @@ def make_loss_fn(model: MPSNeRF, cfg: TrainConfig, smooth: bool):
         variables = {"params": params, "batch_stats": batch_stats}
         latent, mutated = model.apply(
             variables, sp_input["img_all"], train=True,
-            mutable=["batch_stats"], method=MPSNeRF.encode,
+            mutable=["batch_stats"], method="encode",
         )
         # the 3D encoder (correction field) carries BatchNorm too —
         # thread its running-stat updates through the query calls
@@ -211,7 +211,7 @@ def make_loss_fn(model: MPSNeRF, cfg: TrainConfig, smooth: bool):
                 {"params": params, "batch_stats": bs["stats"]},
                 smpl, sp_input, tp_input, latent, p, vd_flat,
                 train=True, compute_normals=smooth,
-                method=MPSNeRF.query, mutable=["batch_stats"],
+                method="query", mutable=["batch_stats"],
             )
             bs["stats"] = mut["batch_stats"]
             return out

@@ -72,19 +72,55 @@ class TestRenderCompact:
         # body rays must actually hit something (non-trivial scene)
         assert float(jnp.max(acc_c)) > 0.1
 
-    def test_fine_stage_matches_single_stage(self, setup):
-        """Second-stage exact-mask compaction (fine_capacity) must be
-        pixel-identical to the single-stage path."""
+    def test_plan_prepass_matches_inline(self, setup):
+        """Supplying the plan_rays_compact pre-pass plan must be
+        pixel-identical to the in-render cull + cumsum."""
+        from mpsnerf_tpu.renderer.render import plan_rays_compact
+
         model, variables, smpl, inp, latent, ro, rd, nr, fr = setup
         key = jax.random.PRNGKey(0)
         base = render_rays_compact(
             model, variables, smpl, inp, inp, latent, ro, rd, nr, fr,
             key, n_samples=N_SAMPLES, capacity=2048, tile=512, perturb=0.0,
         )
+        plan = plan_rays_compact(
+            smpl, inp, ro, rd, nr, fr, key, n_samples=N_SAMPLES,
+        )
+        pre = render_rays_compact(
+            model, variables, smpl, inp, inp, latent, ro, rd, nr, fr,
+            key, n_samples=N_SAMPLES, capacity=2048, tile=512, perturb=0.0,
+            plan=plan,
+        )
+        assert int(base[3]) == 0 and int(pre[3]) == 0
+        np.testing.assert_array_equal(np.asarray(pre[0]), np.asarray(base[0]))
+        np.testing.assert_array_equal(np.asarray(pre[2]), np.asarray(base[2]))
+
+    def test_fine_stage_matches_single_stage(self, setup):
+        """Second-stage exact-mask compaction (fine pre-pass) must be
+        pixel-identical to the single-stage path."""
+        from mpsnerf_tpu.renderer.render import (
+            fine_rays_compact, plan_rays_compact,
+        )
+
+        model, variables, smpl, inp, latent, ro, rd, nr, fr = setup
+        key = jax.random.PRNGKey(0)
+        base = render_rays_compact(
+            model, variables, smpl, inp, inp, latent, ro, rd, nr, fr,
+            key, n_samples=N_SAMPLES, capacity=2048, tile=512, perturb=0.0,
+        )
+        plan = plan_rays_compact(
+            smpl, inp, ro, rd, nr, fr, key, n_samples=N_SAMPLES,
+        )
+        fplan, fids = fine_rays_compact(
+            smpl, inp, ro, rd, nr, fr, key, n_samples=N_SAMPLES,
+            plan=plan, capacity=2048,
+        )
+        assert 0 < int(fplan.n_valid) <= 1536
         fine = render_rays_compact(
             model, variables, smpl, inp, inp, latent, ro, rd, nr, fr,
             key, n_samples=N_SAMPLES, capacity=2048, tile=512,
             fine_capacity=1536, perturb=0.0,
+            plan=plan, fine_plan=fplan, fine_ids=fids,
         )
         assert int(base[3]) == 0 and int(fine[3]) == 0
         np.testing.assert_allclose(
@@ -95,12 +131,24 @@ class TestRenderCompact:
         )
 
     def test_fine_stage_overflow_reported(self, setup):
+        from mpsnerf_tpu.renderer.render import (
+            fine_rays_compact, plan_rays_compact,
+        )
+
         model, variables, smpl, inp, latent, ro, rd, nr, fr = setup
         key = jax.random.PRNGKey(0)
+        plan = plan_rays_compact(
+            smpl, inp, ro, rd, nr, fr, key, n_samples=N_SAMPLES,
+        )
+        fplan, fids = fine_rays_compact(
+            smpl, inp, ro, rd, nr, fr, key, n_samples=N_SAMPLES,
+            plan=plan, capacity=2048,
+        )
         *_, nd = render_rays_compact(
             model, variables, smpl, inp, inp, latent, ro, rd, nr, fr,
             key, n_samples=N_SAMPLES, capacity=2048, tile=128,
             fine_capacity=128, perturb=0.0,
+            plan=plan, fine_plan=fplan, fine_ids=fids,
         )
         assert int(nd) > 0
 

@@ -98,9 +98,11 @@ class ViewRenderer:
         shuffle_rays: bool = True,
         global_compact: bool = True,
         tile: int = 16384,
-        fine: bool = True,  # stage-2 exact-mask pre-pass (see prewarm)
+        fine: bool = True,      # stage-2 exact-mask pre-pass (see prewarm)
+        box_cull: bool = True,  # render only AABB-hit rays (exact)
     ):
         self.fine = fine
+        self.box_cull = box_cull
         if (
             eval_compact_fraction is not None
             and model.compact_fraction is not None
@@ -208,27 +210,35 @@ class ViewRenderer:
             self._plan_fn = plan_fn
             self._fine_fn = fine_fn
 
+    # geometric ladder factor for capacity buckets.  sqrt(2) trades at
+    # most 41% slack (mean ~18%) for FAR fewer distinct buckets than the
+    # round-2 1.26 ladder: each jitted (capacity, fine_capacity) pair is
+    # a full XLA compile of the render (~minutes cold through the
+    # tunnel), and view-to-view candidate drift within one protocol then
+    # almost always stays inside one bucket.
+    LADDER = 1.414
+
     def _bucket_neighbors(self, count: int, spread: int = 1):
         """The ladder bucket for ``count`` plus ``spread`` neighbours on
-        each side (prewarm: view-to-view counts drift within ~1 step)."""
+        EACH side (prewarm: view-to-view counts drift both ways)."""
         ladder, c = [], 1
         while c * self.tile < self._capacity_bucket(count) * 2:
             ladder.append(c * self.tile)
-            c = max(c + 1, int(np.ceil(c * 1.26)))
+            c = max(c + 1, int(np.ceil(c * self.LADDER)))
         ladder.append(c * self.tile)
         center = ladder.index(self._capacity_bucket(count))
         lo = max(0, center - spread)
         return ladder[lo:center + spread + 1]
 
     def _capacity_bucket(self, count: int) -> int:
-        """Smallest bucket >= count: tile multiples on a ~1.26x geometric
-        ladder (bounded recompiles, <=26% slack).  The count pre-pass is
-        exact (same deterministic sample set as the render), so no extra
-        headroom factor; the overflow-retry path is the safety net."""
+        """Smallest ladder bucket >= count (tile multiples).  The count
+        pre-pass is exact (same deterministic sample set as the render)
+        and the render consumes the pre-pass's own plan, so no headroom
+        factor is needed and overflow cannot occur."""
         need = max(1, int(np.ceil(count / self.tile)))
         c = 1
         while c < need:
-            c = max(c + 1, int(np.ceil(c * 1.26)))
+            c = max(c + 1, int(np.ceil(c * self.LADDER)))
         return c * self.tile
 
     def _latent_for(self, variables, sp_item):
@@ -243,14 +253,21 @@ class ViewRenderer:
             sp_item["_latent_cache"] = cached
         return cached
 
-    @staticmethod
-    def _pad_rays(ro, rd, nr, fr):
-        """Pad to a 4096 multiple.  Padding rays sit far outside the body
-        grid: zero candidates, composite to background, sliced off by the
-        caller.  Returns device arrays."""
+    @classmethod
+    def _pad_rays(cls, ro, rd, nr, fr):
+        """Pad the ray count to the next power-of-2 multiple of 4096:
+        every distinct padded size is a fresh XLA compile of
+        plan/fine/render, and with the per-view box cull ray counts vary
+        view to view — the coarse ladder makes a whole protocol share ONE
+        ray shape (hit counts drift far less than 2x).  Padding rays sit
+        far outside the body grid: zero candidates (so they never cost
+        tail slots), composite to background, sliced off by the caller.
+        Returns device arrays."""
         n = ro.shape[0]
-        ray_pad = 4096
-        n_pad = ((n + ray_pad - 1) // ray_pad) * ray_pad
+        c = 1
+        while c * 4096 < n:
+            c *= 2
+        n_pad = c * 4096
 
         def pad(x, fill):
             if n_pad == n:
@@ -303,6 +320,20 @@ class ViewRenderer:
         assert int(out[3]) == 0, (int(out[3]), count, cap, fcap)
         return rgb[:n]
 
+    def _view_ray_mask(self, tp_item, k, ray_mask=None):
+        """Effective ray mask for a view.  With ``box_cull`` (default),
+        rays that miss the body AABB are skipped: they provably composite
+        to the exact background (every sample fails the 5 cm mask -> -80
+        fill -> rgb 0) — the same pre-masking the reference applies on
+        H36M (all_test.py:384-387), applied everywhere because the output
+        is pixel-identical and ~2.7x fewer rays execute at 512^2."""
+        if (
+            ray_mask is None and self.box_cull
+            and "mask_at_box_all" in tp_item
+        ):
+            return np.asarray(tp_item["mask_at_box_all"][k]).reshape(-1)
+        return ray_mask
+
     def _prep_view(self, variables, sp_item, tp_item, k, ray_mask=None):
         """Item dicts -> device inputs + the view's ray arrays (shared by
         render_view and prewarm)."""
@@ -322,16 +353,25 @@ class ViewRenderer:
         # them through the tunnel was the hidden ~2 s first-view-per-item
         # cost the round-2 latency artifact blamed on recompiles.
         skip = (
-            "msk_all", "_latent_cache", "ray_o_all", "ray_d_all",
-            "rgb_all", "near_all", "far_all", "mask_at_box_all",
-            "bkgd_msk_all", "msk_cihp_all", "o_img_all",
+            "msk_all", "_latent_cache", "_device_cache", "ray_o_all",
+            "ray_d_all", "rgb_all", "near_all", "far_all",
+            "mask_at_box_all", "bkgd_msk_all", "msk_cihp_all", "o_img_all",
         )
-        sp = to_device_input(
-            {kk: vv for kk, vv in sp_item.items() if kk not in skip}
-        )
-        tp = to_device_input(
-            {kk: vv for kk, vv in tp_item.items() if kk not in skip}
-        )
+
+        def device_side(item):
+            # cache ON the item dict (like _latent_cache): uploading the
+            # item's device arrays costs ~0.3 s/call over the tunnel and
+            # a protocol renders each item up to 8 times
+            cached = item.get("_device_cache")
+            if cached is None:
+                cached = to_device_input(
+                    {kk: vv for kk, vv in item.items() if kk not in skip}
+                )
+                item["_device_cache"] = cached
+            return cached
+
+        sp = device_side(sp_item)
+        tp = device_side(tp_item)
         smpl = self.smpl_selector(int(sp_item["gender"]))
         latent = self._latent_for(variables, sp_item)
 
@@ -361,27 +401,33 @@ class ViewRenderer:
         )):
             return []
         (smpl, sp, tp, latent, ro, rd, nr, fr, _, _) = (
-            self._prep_view(variables, sp_item, tp_item, k)
+            self._prep_view(
+                variables, sp_item, tp_item, k,
+                self._view_ray_mask(tp_item, k),
+            )
         )
         ro_d, rd_d, nr_d, fr_d = self._pad_rays(ro, rd, nr, fr)
         plan = self._plan_fn(smpl, tp, ro_d, rd_d, nr_d, fr_d)
         count = int(plan.n_valid)
-        caps, c = [], self._capacity_bucket(count)
-        for _ in range(extra_buckets + 1):
-            caps.append(c)
-            c = self._capacity_bucket(c + 1)
+        caps = self._bucket_neighbors(count, spread=extra_buckets)
+        center_cap = self._capacity_bucket(count)
+        warmed = []
         for cap in caps:
             if self.fine:
                 fplan, fids = self._fine_fn(
                     smpl, tp, ro_d, rd_d, nr_d, fr_d, plan, capacity=cap
                 )
-                # fine counts drift with the pose silhouette: warm the
-                # whole neighbourhood so no (cap, fcap) pair recompiles
-                # mid-protocol
-                fcaps = [
-                    f for f in self._bucket_neighbors(int(fplan.n_valid))
-                    if f <= cap
-                ]
+                # fine counts drift with the pose silhouette; warm the
+                # neighbourhood at the CENTER cap (where the protocol
+                # lives) and the diagonal pair at the others — drift
+                # rarely moves both ladders at once
+                if cap == center_cap:
+                    fcaps = self._bucket_neighbors(
+                        int(fplan.n_valid), spread=extra_buckets
+                    )
+                else:
+                    fcaps = [self._capacity_bucket(int(fplan.n_valid))]
+                fcaps = [f for f in fcaps if f <= cap]
             else:
                 fplan = fids = None
                 fcaps = [0]
@@ -393,7 +439,8 @@ class ViewRenderer:
                     tile_=self.tile,
                 )
                 jax.block_until_ready(out)
-        return caps
+                warmed.append((cap, fcap))
+        return warmed
 
     def render_view(self, variables, sp_item: Dict, tp_item: Dict, k: int,
                     ray_mask: Optional[np.ndarray] = None) -> np.ndarray:
@@ -401,6 +448,7 @@ class ViewRenderer:
         ``sp_item``.  Returns (H*W, 3) float.  ``ray_mask`` restricts
         rendering to masked rays (H36M masked-ray mode, all_test.py:384-387);
         unmasked pixels return 0."""
+        ray_mask = self._view_ray_mask(tp_item, k, ray_mask)
         (smpl, sp, tp, latent, ro, rd, nr, fr, sel, n_total) = (
             self._prep_view(variables, sp_item, tp_item, k, ray_mask)
         )

@@ -56,7 +56,7 @@ class _TailNet(torch.nn.Module):
     (lib/skinnning_batch.py:137-165) so ``state_dict()`` keys match what
     ``compat.torch_import.convert_reference_state_dict`` expects."""
 
-    def __init__(self, tmod):
+    def __init__(self, tmod, with_viewdirs=False):
         super().__init__()
         nn = torch.nn
         Wd = 256
@@ -69,7 +69,9 @@ class _TailNet(torch.nn.Module):
         )
         self.alpha_linear = nn.Linear(Wd, 1)
         self.feature_linear = nn.Linear(Wd, Wd)
-        self.views_linear = nn.Linear(128 + 256 + 27, Wd // 2)
+        # nerf_input_ch_2 = 411 (+27 PE'd viewdir), ref :161-162
+        vin = 128 + 256 + 27 + (27 if with_viewdirs else 0)
+        self.views_linear = nn.Linear(vin, Wd // 2)
         self.rgb_linear = nn.Linear(Wd // 2, 3)
         self.transformer = tmod.Transformer(dim=FEAT_CH)
         self.latent_codes = nn.Embedding(1, 128)
@@ -152,14 +154,20 @@ def scene():
     }
 
 
+@pytest.fixture(scope="module", params=[False, True],
+                ids=["plain", "viewdirs"])
+def with_viewdirs(request):
+    return request.param
+
+
 @pytest.fixture(scope="module")
-def tail_net():
+def tail_net(with_viewdirs):
     tmod = load_ref_module("lib.transformer")
     torch.manual_seed(0)
-    return _TailNet(tmod).eval()
+    return _TailNet(tmod, with_viewdirs=with_viewdirs).eval()
 
 
-def _build_ref_forward(scene, tail_net, monkeypatch):
+def _build_ref_forward(scene, tail_net, with_viewdirs, monkeypatch):
     """Assemble the reference ``SKinningBatch.forward`` as an extracted
     function over a namespace carrying real torch weights + the
     reference's own extracted helper methods."""
@@ -199,7 +207,7 @@ def _build_ref_forward(scene, tail_net, monkeypatch):
     self_ = types.SimpleNamespace(
         SMPL_NEUTRAL=_torch_smpl(scene["smpl"]),
         human_sample=True, correction_field=False, skinning_field=False,
-        use_trans=True, append_rgb=True, with_viewdirs=False,
+        use_trans=True, append_rgb=True, with_viewdirs=with_viewdirs,
         smooth_loss=False, training=False,
         extract_mesh=False, mesh_animation=False,
         mean_shape=False, data_set_type="THuman_B",
@@ -235,7 +243,7 @@ def _build_ref_forward(scene, tail_net, monkeypatch):
     return types.MethodType(fwd, self_)
 
 
-def _our_variables(scene, tail_net):
+def _our_variables(scene, tail_net, with_viewdirs=False):
     """Init our model, then overwrite the tail subtrees with the torch
     weights through the checkpoint importer."""
     from mpsnerf_tpu.compat.torch_import import convert_reference_state_dict
@@ -244,6 +252,7 @@ def _our_variables(scene, tail_net):
 
     model = MPSNeRF(
         num_instances=1, compact_fraction=None, mean_shape=False,
+        with_viewdirs=with_viewdirs,
     )
     inp = to_device_input(scene["item"])
     variables = model.init(
@@ -272,13 +281,15 @@ def _our_variables(scene, tail_net):
 
 class TestFullForward:
     @pytest.fixture(scope="class")
-    def outputs(self, scene, tail_net):
+    def outputs(self, scene, tail_net, with_viewdirs):
         """Run both full chains once; tests below slice the results."""
         from _pytest.monkeypatch import MonkeyPatch
 
         mp = MonkeyPatch()
         try:
-            ref_forward = _build_ref_forward(scene, tail_net, mp)
+            ref_forward = _build_ref_forward(
+                scene, tail_net, with_viewdirs, mp
+            )
             sp = _ref_inputs(scene["item"])
             tp = copy.deepcopy(sp)  # sequeeze_0 mutates; keep sp/tp distinct
             raw_ref = (
@@ -293,7 +304,9 @@ class TestFullForward:
         finally:
             mp.undo()
 
-        model, variables, inp = _our_variables(scene, tail_net)
+        model, variables, inp = _our_variables(
+            scene, tail_net, with_viewdirs
+        )
         raw_ours = jax.jit(
             model.apply, static_argnames=("train", "method")
         )(

@@ -27,9 +27,12 @@ def main():
     from mpsnerf_tpu.train.trainer import to_device_input
 
     SIZE = 512
+    # split="test" is ESSENTIAL: the train split samples only n_rays rays
+    # per view, so the round-2 revision of this probe silently measured
+    # 64-ray views (pure dispatch overhead) while claiming 512x512
     ds = SyntheticHumanDataset(
         n_poses=2, n_cameras=6, image_size=SIZE, n_rays=64, n_verts=6890,
-        num_instances=1, input_views=[0, 2, 4],
+        num_instances=1, input_views=[0, 2, 4], split="test",
     )
     items = [ds.get_item(i, instance_idx=0) for i in range(2)]
     smpl = ds.smpl_for(0)

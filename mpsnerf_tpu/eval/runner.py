@@ -560,7 +560,7 @@ def run_thuman_eval(
             variables, first, first, k=THUMAN_NOVEL_VIEWS[0]
         )
         if verbose and caps:
-            print(f"[eval] prewarmed capacity buckets: {caps}")
+            print(f"[eval] prewarmed (capacity, fine) pairs: {caps}")
     except Exception as e:  # prewarm is best-effort, never blocks eval
         print(f"[eval] prewarm skipped: {e}")
 
@@ -636,6 +636,16 @@ def run_h36m_eval(
     def render_view(sp, tp, k):
         mask = np.asarray(tp["mask_at_box_all"][k])
         return renderer.render_view(variables, sp, tp, k, ray_mask=mask)
+
+    try:
+        first = humans[name]["novel_view"][0]
+        caps = renderer.prewarm(
+            variables, first, first, k=H36M_NOVEL_VIEW[0]
+        )
+        if verbose and caps:
+            print(f"[eval] prewarmed (capacity, fine) pairs: {caps}")
+    except Exception as e:  # best-effort
+        print(f"[eval] prewarm skipped: {e}")
 
     def gt_fn(item, k):
         return np.asarray(item["o_img_all"][k]).transpose(1, 2, 0)

@@ -71,7 +71,74 @@ def compact(plan: Compaction, x: jnp.ndarray) -> jnp.ndarray:
 
 
 def expand(plan: Compaction, buf: jnp.ndarray, fill) -> jnp.ndarray:
-    """(K, ...) -> (N, ...): scatter back; non-taken rows get ``fill``."""
+    """(K, ...) -> (N, ...): scatter back; non-taken rows get ``fill``.
+
+    Two formulations, picked by a measured cost model (v5e):
+      * scatter: each *valid* buffer slot writes its value to its source
+        row of a fill-initialized output — K indices per channel, but the
+        channels must go as SEPARATE scalar scatters (a (K, C)-slice
+        scatter lowers pathologically on TPU: ~94 ns/idx vs ~6 for
+        scalar), so cost ~ 6ns * K * C.
+      * gather: ``where(take, buf[plan.slot], fill)`` — N indices, but
+        one fused pass serves every channel, cost ~ 7ns * N.
+    Break-even at K*C ~ N; the eval renderer (K/N ~ 0.16, C = 4) takes
+    the scatter form (44 vs 78 ms measured), wide/dense expands (e.g.
+    24-channel blend weights at K/N ~ 0.5) keep the gather form.
+
+    Gradients are identical between the forms: every valid slot maps to
+    exactly one taken row (stable partition), so d/dbuf is the same
+    one-row gather either way.
+    """
+    k = buf.shape[0]
+    n = plan.slot.shape[0]
+    channels = 1
+    for d in buf.shape[1:]:
+        channels *= d
+    if 6 * k * channels > 7 * n:
+        return expand_gather(plan, buf, fill)
+    return expand_scatter(plan, buf, fill)
+
+
+def expand_scatter(plan: Compaction, buf: jnp.ndarray, fill) -> jnp.ndarray:
+    """Scatter formulation of :func:`expand` (see its docstring).
+
+    Only reads ``gather_idx``/``n_valid`` (+ ``slot``'s length for N), so
+    it is also the ONLY valid expand for *composed* plans (fine∘coarse,
+    renderer/render.py) whose ``slot``/``take`` still describe the coarse
+    stage — ``expand_gather`` on such a plan is silently wrong.
+    """
+    k = buf.shape[0]
+    n = plan.slot.shape[0]
+    channels = 1
+    for d in buf.shape[1:]:
+        channels *= d
+    # unused slots (>= n_valid, or beyond a resize_plan cut) hold junk
+    # gather_idx — route them to index n and drop
+    valid = jnp.arange(k, dtype=jnp.int32) < jnp.minimum(plan.n_valid, k)
+    # idx stays sorted (valid prefix is increasing, suffix is all n) and
+    # the writes stay unique (duplicate n's are all dropped, so the
+    # unique_indices promise is vacuous for them)
+    idx = jnp.where(valid, plan.gather_idx, n)
+    flat = buf.reshape(k, channels)
+    cols = []
+    for c in range(channels):
+        full = jnp.full((n,), fill, buf.dtype)
+        cols.append(
+            full.at[idx].set(
+                flat[:, c], mode="drop",
+                indices_are_sorted=True, unique_indices=True,
+            )
+        )
+    out = (
+        cols[0] if channels == 1
+        else jnp.stack(cols, axis=-1)
+    )
+    return out.reshape((n,) + buf.shape[1:])
+
+
+def expand_gather(plan: Compaction, buf: jnp.ndarray, fill) -> jnp.ndarray:
+    """Gather formulation of :func:`expand` (N gather indices).  Kept as
+    the parity oracle for the scatter form and for callers whose K ~ N."""
     vals = buf[plan.slot]
     take = plan.take.reshape(plan.take.shape + (1,) * (vals.ndim - 1))
     return jnp.where(take, vals, fill)

@@ -210,7 +210,7 @@ def render_rays_compact(
     """
     from mpsnerf_tpu.ops.body_grid import grid_lookup
     from mpsnerf_tpu.ops.compact import (
-        plan_compaction, resize_plan, compact, expand,
+        plan_compaction, resize_plan, compact, expand_scatter,
     )
     from mpsnerf_tpu.models.mps_nerf import MASK_FILL
     from mpsnerf_tpu.smpl.lbs import PoseTransforms, world_to_smpl
@@ -237,9 +237,6 @@ def render_rays_compact(
         plan = resize_plan(plan, capacity)
     n_dropped = jnp.maximum(plan.n_valid - capacity, 0).astype(jnp.int32)
 
-    cpts_flat = compact(plan, pts)
-    cvd_flat = compact(plan, vd)
-
     model_nc = (
         model.clone(compact_fraction=None)
         if model.compact_fraction is not None else model
@@ -257,14 +254,31 @@ def render_rays_compact(
             "fine_capacity > 0 requires the fine_rays_compact pre-pass "
             "outputs (fine_plan, fine_ids)"
         )
-        from mpsnerf_tpu.ops.compact import resize_plan as _resize
+        from mpsnerf_tpu.ops.compact import (
+            Compaction, resize_plan as _resize,
+        )
 
         plan2 = _resize(fine_plan, fine_capacity)
         n_dropped = n_dropped + jnp.maximum(
             plan2.n_valid - fine_capacity, 0
         ).astype(jnp.int32)
-        cpts = compact(plan2, cpts_flat).reshape(-1, tile, 3)
-        cvd = compact(plan2, cvd_flat).reshape(-1, tile, 3)
+        # composed fine -> full source rows: one fine_capacity-sized index
+        # gather, then every compact/expand runs at fine granularity — no
+        # capacity-sized intermediates, and the expand side is ONE scatter
+        # of fine_capacity indices instead of two M-sized gathers (the
+        # scatter-form expand makes the composed plan the cheap direction;
+        # the gather-form measured the opposite in round 3)
+        comp_idx = plan.gather_idx[plan2.gather_idx]  # (fine_capacity,)
+        composed = Compaction(
+            gather_idx=comp_idx, slot=plan.slot, take=plan.take,
+            n_valid=plan2.n_valid,
+        )
+        # one (6,)-slice gather for pts+vd: TPU gather cost is per index,
+        # not per byte, so fusing the two (3,) gathers halves it
+        pv = jnp.concatenate([pts, vd], axis=-1)  # (M, 6)
+        cpv = pv[comp_idx].reshape(-1, tile, 6)
+        cpts = cpv[..., :3]
+        cvd = cpv[..., 3:]
         cids = compact(plan2, fine_ids).reshape(-1, tile)
 
         def one_fine(args):
@@ -276,20 +290,12 @@ def render_rays_compact(
             return raw.rgb, raw.sigma
 
         rgb_t, sig_t = jax.lax.map(one_fine, (cpts, cvd, cids))
-        # nested expand (fine -> candidates -> full): one capacity-sized
-        # + one M-sized gather (a flattened composed plan would need TWO
-        # M-sized gathers — measured slower)
-        rgb_full = expand(
-            plan, expand(plan2, rgb_t.reshape(fine_capacity, 3), MASK_FILL),
-            MASK_FILL,
-        )
-        sig_full = expand(
-            plan, expand(plan2, sig_t.reshape(fine_capacity), MASK_FILL),
-            MASK_FILL,
-        )
+        out_plan, out_cap = composed, fine_capacity
     else:
-        cpts = cpts_flat.reshape(-1, tile, 3)
-        cvd = cvd_flat.reshape(-1, tile, 3)
+        pv = jnp.concatenate([pts, vd], axis=-1)  # (M, 6)
+        cpv = compact(plan, pv).reshape(-1, tile, 6)
+        cpts = cpv[..., :3]
+        cvd = cpv[..., 3:]
 
         def one(args):
             p, v = args
@@ -300,8 +306,18 @@ def render_rays_compact(
             return raw.rgb, raw.sigma
 
         rgb_t, sig_t = jax.lax.map(one, (cpts, cvd))
-        rgb_full = expand(plan, rgb_t.reshape(capacity, 3), MASK_FILL)
-        sig_full = expand(plan, sig_t.reshape(capacity), MASK_FILL)
+        out_plan, out_cap = plan, capacity
+
+    # ONE fused (K, 4) scatter-expand for rgb+sigma (4 scalar scatters of
+    # K indices each beat the old pair of M-sized gather-expands; see
+    # ops/compact.py:expand).  Must be expand_scatter, not expand: the
+    # composed plan's slot/take still describe the coarse stage.
+    raw4 = jnp.concatenate(
+        [rgb_t.reshape(out_cap, 3), sig_t.reshape(out_cap, 1)], axis=-1
+    )
+    full4 = expand_scatter(out_plan, raw4, MASK_FILL)
+    rgb_full = full4[:, :3]
+    sig_full = full4[:, 3]
 
     out = composite_rays(
         rgb_full.reshape(r, n_samples, 3),

@@ -63,6 +63,83 @@ class TestCompaction:
         g = jax.grad(f)(jnp.arange(5.0))
         np.testing.assert_allclose(np.asarray(g), [0, 0, 4, 6, 0])
 
+    @pytest.mark.parametrize("density,cap,channels", [
+        (0.3, 64, 1), (0.3, 64, 4), (0.9, 16, 3), (1.0, 32, 2),
+    ])
+    def test_expand_scatter_matches_gather(self, density, cap, channels):
+        from mpsnerf_tpu.ops.compact import expand_gather, expand_scatter
+
+        rng = np.random.default_rng(1)
+        mask = jnp.asarray(
+            (rng.uniform(size=100) < density).astype(np.int32)
+        )
+        plan = plan_compaction(mask, cap)
+        buf = jnp.asarray(
+            rng.normal(size=(cap, channels)).astype(np.float32)
+        )
+        a = np.asarray(expand_gather(plan, buf, -5.0))
+        b = np.asarray(expand_scatter(plan, buf, -5.0))
+        np.testing.assert_allclose(a, b)
+        # and after a resize_plan cut (junk gather_idx beyond the cut)
+        from mpsnerf_tpu.ops.compact import resize_plan
+
+        small = resize_plan(plan, cap // 2)
+        a = np.asarray(expand_gather(small, buf[: cap // 2], -5.0))
+        b = np.asarray(expand_scatter(small, buf[: cap // 2], -5.0))
+        np.testing.assert_allclose(a, b)
+
+    def test_expand_scatter_gradient_matches_gather(self):
+        from mpsnerf_tpu.ops.compact import expand_gather, expand_scatter
+
+        mask = jnp.asarray([1, 0, 1, 1, 0, 1, 1, 0], jnp.int32)
+        plan = plan_compaction(mask, 4)  # overflow: 5 valid, cap 4
+        buf0 = jnp.arange(8.0).reshape(4, 2)
+
+        def loss(form, buf):
+            out = form(plan, buf, 0.0)
+            return jnp.sum(out * jnp.arange(out.size).reshape(out.shape))
+
+        ga = jax.grad(lambda b: loss(expand_gather, b))(buf0)
+        gb = jax.grad(lambda b: loss(expand_scatter, b))(buf0)
+        np.testing.assert_allclose(np.asarray(ga), np.asarray(gb))
+
+    def test_expand_scatter_composed_plan(self):
+        """fine∘coarse composed plan == nested gather-expand.
+
+        Mirrors renderer/render.py's fine path: the composed plan's
+        slot/take are the coarse stage's, so only expand_scatter is valid
+        on it — the test asserts it reproduces the two-level expand.
+        """
+        from mpsnerf_tpu.ops.compact import (
+            Compaction, expand_gather, expand_scatter,
+        )
+
+        rng = np.random.default_rng(2)
+        n = 200
+        coarse_mask = jnp.asarray(
+            (rng.uniform(size=n) < 0.4).astype(np.int32)
+        )
+        cap = 96
+        plan = plan_compaction(coarse_mask, cap)
+        # fine mask over the coarse buffer (junk slots masked out)
+        valid_slots = np.arange(cap) < int(plan.n_valid)
+        fine_mask = jnp.asarray(
+            ((rng.uniform(size=cap) < 0.6) & valid_slots).astype(np.int32)
+        )
+        fcap = 64
+        plan2 = plan_compaction(fine_mask, fcap)
+        buf = jnp.asarray(rng.normal(size=(fcap, 4)).astype(np.float32))
+
+        nested = expand_gather(
+            plan, expand_gather(plan2, buf, -80.0), -80.0
+        )
+        composed = Compaction(
+            gather_idx=plan.gather_idx[plan2.gather_idx],
+            slot=plan.slot, take=plan.take, n_valid=plan2.n_valid,
+        )
+        flat = expand_scatter(composed, buf, -80.0)
+        np.testing.assert_allclose(np.asarray(nested), np.asarray(flat))
+
 
 class TestModelForward:
     def test_query_shapes_and_mask(self, scene, model_and_vars):

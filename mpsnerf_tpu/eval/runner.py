@@ -299,9 +299,10 @@ class ViewRenderer:
         cap = self._capacity_bucket(count)
         if self.fine:
             # stage-2 pre-pass: exact 5 cm mask + nearest-vertex ids, so
-            # the tail runs only true body points (~1.35x fewer) and
-            # skips its internal 1-NN (measured +2% over the grid-only
-            # path at 512^2, bench MPSNERF_BENCH_FINE=1)
+            # the tail runs only true body points (~1.22x fewer) and
+            # skips its internal 1-NN (measured +9% over the grid-only
+            # path at 512^2 with the composed-plan render,
+            # bench MPSNERF_BENCH_FINE=0 to compare)
             fplan, fids = self._fine_fn(
                 smpl, tp, ro_d, rd_d, nr_d, fr_d, plan, capacity=cap
             )

@@ -45,12 +45,15 @@ def _load():
         f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
         i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
 
-        lib.extract_isosurface.restype = ctypes.c_int
-        lib.extract_isosurface.argtypes = [
+        iso_argtypes = [
             f32p, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_float,
             f32p, ctypes.c_int, i32p, ctypes.c_int,
             ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
         ]
+        lib.extract_isosurface.restype = ctypes.c_int
+        lib.extract_isosurface.argtypes = iso_argtypes
+        lib.extract_isosurface_mc.restype = ctypes.c_int
+        lib.extract_isosurface_mc.argtypes = iso_argtypes
         lib.rasterize_mesh.restype = None
         lib.rasterize_mesh.argtypes = [
             f32p, ctypes.c_int, i32p, ctypes.c_int,
@@ -62,20 +65,29 @@ def _load():
 
 def extract_isosurface(
     grid: np.ndarray, iso: float, max_verts: int = 4_000_000,
-    max_tris: int = 8_000_000,
+    max_tris: int = 8_000_000, method: str = "mc",
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Iso-surface of ``grid`` (nx, ny, nz) at threshold ``iso``.
+
+    ``method="mc"`` (default) is classic marching-cubes topology — the
+    exact PyMCubes vertex set (one linearly-interpolated vertex per
+    sign-crossing cell edge), matching ``mcubes.marching_cubes`` at
+    ``extract_thuman_mesh.py:164``.  ``method="tet"`` is the marching-
+    tetrahedra fallback (same surface, denser triangulation).
 
     Returns ``(verts (V, 3) in grid-index coordinates, tris (T, 3))``.
     """
     lib = _load()
+    fn = {"mc": lib.extract_isosurface_mc, "tet": lib.extract_isosurface}[
+        method
+    ]
     grid = np.ascontiguousarray(grid, np.float32)
     nx, ny, nz = grid.shape
     verts = np.empty((max_verts, 3), np.float32)
     tris = np.empty((max_tris, 3), np.int32)
     nv = ctypes.c_int(0)
     nt = ctypes.c_int(0)
-    rc = lib.extract_isosurface(
+    rc = fn(
         grid, nx, ny, nz, iso, verts, max_verts, tris, max_tris,
         ctypes.byref(nv), ctypes.byref(nt),
     )

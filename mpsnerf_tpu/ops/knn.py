@@ -76,24 +76,32 @@ _ID_BITS = 13
 def _nn_kernel(q_ref, v_ref, id_ref):
     """One grid step: QUERY_BLOCK queries vs. all vertex tiles.
 
-    q_ref: (B, 3) queries; v_ref: (T, VT, 3) padded vertex tiles;
-    output: (B,) argmin vertex ids (the exact distance is recomputed from
-    the id outside the kernel).
+    q_ref: (B, 3) queries; v_ref: (T, 3, VT) padded vertex tiles,
+    PRE-TRANSPOSED so ``v_ref[t, d]`` is already a lane-major row — the
+    (VT, 3) layout's ``v[:, d][None, :]`` slice forced a sublane->lane
+    transpose per tile per dim, measured 12% of the whole kernel
+    (tools/knn_variant_probe.py).
+    Output: (B,) argmin vertex ids; the exact distance is recomputed
+    from the id outside the kernel.  Also-emitting the exact min-d2 as a
+    second reduction was built and measured 2x SLOWER end-to-end
+    (223 vs 96 ms at 2.57M queries) than the ids-only kernel plus the
+    outside O(N) recompute gather — and the naive formulations (f32
+    carry initialized with jnp.inf, or a second pallas output) hang the
+    Mosaic compile outright.  Do not re-try.
     """
     q = q_ref[:]  # (B, 3)
     n_tiles = v_ref.shape[0]
-    vt = v_ref.shape[1]
+    vt = v_ref.shape[2]
     low_mask = (1 << _ID_BITS) - 1
 
     def tile_step(t, best_key):
-        v = v_ref[t]  # (VT, 3)
         # d2 tile: (B, VT) via per-dim diff-squares on the VPU.  NOT the
         # |q|^2 - 2 q.v + |v|^2 matmul: Mosaic lowers the K=3 MXU dot in
         # single-pass bf16 (~1e-2 abs error — observed), and the matmul
         # form also matches pytorch3d's diff formulation less exactly.
         d2 = jnp.zeros((q.shape[0], vt), jnp.float32)
         for d in range(3):
-            diff = q[:, d : d + 1] - v[:, d][None, :]
+            diff = q[:, d : d + 1] - v_ref[t, d][None, :]
             d2 = d2 + diff * diff
         # d2 >= 0 exactly in this form -> IEEE bits are order-preserving;
         # replace the low mantissa bits with the vertex id and min-reduce
@@ -103,10 +111,11 @@ def _nn_kernel(q_ref, v_ref, id_ref):
         key = jnp.min((bits & ~low_mask) | ids, axis=-1)
         return jnp.minimum(best_key, key)
 
-    best = jax.lax.fori_loop(
-        0, n_tiles, tile_step, jnp.full((q.shape[0],), 0x7FFFFFFF, jnp.int32)
+    best_key = jax.lax.fori_loop(
+        0, n_tiles, tile_step,
+        jnp.full((q.shape[0],), 0x7FFFFFFF, jnp.int32),
     )
-    id_ref[:, :] = (best & low_mask).reshape(id_ref.shape)
+    id_ref[:, :] = (best_key & low_mask).reshape(id_ref.shape)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -124,7 +133,7 @@ def nearest_vertex_pallas(query: jnp.ndarray, verts: jnp.ndarray, interpret=Fals
         )
     # pad with a far-away sentinel so padding never wins the argmin
     v = _pad_to(verts.astype(jnp.float32), nv, 1e8)
-    v_tiles = v.reshape(-1, _VERT_TILE, 3)
+    v_tiles = v.reshape(-1, _VERT_TILE, 3).transpose(0, 2, 1)
 
     grid = nb // _QUERY_BLOCK
     ids = pl.pallas_call(

@@ -46,64 +46,92 @@ def _eval_pass(
     frame_offset: int = 0,
     verbose: bool = True,
     gt_fn: Optional[Callable] = None,
+    render_async: Optional[tuple] = None,
 ):
     """One pass over poses x views.  ``sp_index`` selects a fixed source
     item (novel-pose mode); None means sp == tp (novel-view mode).
     ``gt_fn(item, k) -> (H, W, 3)`` overrides the GT source (H36M uses
     the unmasked original image, all_test.py:402).
+
+    ``render_async=(dispatch, finish)`` enables a 1-deep software
+    pipeline: view i+1's device render is dispatched BEFORE view i's
+    image is fetched, so the tunnel fetch, SSIM/PSNR, PNG writes, and GT
+    loads for view i all run while the device renders view i+1 (the
+    sequential loop leaves the device idle for all of that host work).
+    Results are identical to the sequential path — only the host-side
+    ordering changes.  "Time per image" then reports the pipeline stage
+    latency (dispatch-to-finish), i.e. the true per-view throughput.
+
     Returns (mse, psnr, ssim) lists-of-lists [pose][view]."""
     os.makedirs(save_path, exist_ok=True)
-    all_mse, all_psnr, all_ssim = [], [], []
     tp_items = items[1:] if sp_index is not None else items
     sp_item = items[sp_index] if sp_index is not None else None
 
-    for item in tp_items:
+    if render_async is not None:
+        dispatch, finish = render_async
+    else:
+        dispatch, finish = render_view, lambda x: x
+
+    # size by len(): iterating a lazy DatasetWindow here would construct
+    # every full-res item dict a second time
+    nv, np_ = len(novel_views), len(tp_items)
+    all_mse = [[None] * nv for _ in range(np_)]
+    all_psnr = [[None] * nv for _ in range(np_)]
+    all_ssim = [[None] * nv for _ in range(np_)]
+
+    def process(entry):
+        pi, vi, item, k, t0, handle = entry
+        rgb_pred = finish(handle)  # (H*W, 3) in [0,1]
+        if verbose:
+            print("Time per image: ", time.time() - t0)
+
+        if gt_fn is not None:
+            target = np.asarray(gt_fn(item, k)).reshape(H, W, 3)
+        else:
+            target = np.asarray(item["rgb_all"][k]).reshape(H, W, 3)
+        pred = np.asarray(rgb_pred).reshape(H, W, 3)
+        mask = np.asarray(item["mask_at_box_all"][k]).reshape(H, W) > 0
+
+        pose_idx = int(item["pose_index"])
+        _imwrite(
+            os.path.join(
+                save_path,
+                f"frame{pose_idx + frame_offset:04d}_view{k:04d}_gt.png",
+            ),
+            to8b(target),
+        )
+        _imwrite(
+            os.path.join(
+                save_path,
+                f"frame{pose_idx + frame_offset:04d}_view{k:04d}.png",
+            ),
+            to8b(pred),
+        )
+
+        mse = float(np.mean((pred[mask] - target[mask]) ** 2))
+        psnr = psnr_metric(pred[mask], target[mask])
+        ssim = ssim_metric(pred[mask], target[mask], mask, H, W)
+        if verbose:
+            print(
+                "[Test] pose:", pose_idx, " view:", k,
+                " mse:", round(mse, 5), " psnr:", round(psnr, 5),
+                " ssim:", round(ssim, 5),
+            )
+        all_mse[pi][vi] = mse
+        all_psnr[pi][vi] = psnr
+        all_ssim[pi][vi] = ssim
+
+    pending = None
+    for pi, item in enumerate(tp_items):
         sp = sp_item if sp_item is not None else item
-        view_mse, view_psnr, view_ssim = [], [], []
-        for k in novel_views:
+        for vi, k in enumerate(novel_views):
             t0 = time.time()
-            rgb_pred = render_view(sp, item, k)  # (H*W, 3) in [0,1]
-            if verbose:
-                print("Time per image: ", time.time() - t0)
-
-            if gt_fn is not None:
-                target = np.asarray(gt_fn(item, k)).reshape(H, W, 3)
-            else:
-                target = np.asarray(item["rgb_all"][k]).reshape(H, W, 3)
-            pred = np.asarray(rgb_pred).reshape(H, W, 3)
-            mask = np.asarray(item["mask_at_box_all"][k]).reshape(H, W) > 0
-
-            pose_idx = int(item["pose_index"])
-            _imwrite(
-                os.path.join(
-                    save_path,
-                    f"frame{pose_idx + frame_offset:04d}_view{k:04d}_gt.png",
-                ),
-                to8b(target),
-            )
-            _imwrite(
-                os.path.join(
-                    save_path,
-                    f"frame{pose_idx + frame_offset:04d}_view{k:04d}.png",
-                ),
-                to8b(pred),
-            )
-
-            mse = float(np.mean((pred[mask] - target[mask]) ** 2))
-            psnr = psnr_metric(pred[mask], target[mask])
-            ssim = ssim_metric(pred[mask], target[mask], mask, H, W)
-            if verbose:
-                print(
-                    "[Test] pose:", pose_idx, " view:", k,
-                    " mse:", round(mse, 5), " psnr:", round(psnr, 5),
-                    " ssim:", round(ssim, 5),
-                )
-            view_mse.append(mse)
-            view_psnr.append(psnr)
-            view_ssim.append(ssim)
-        all_mse.append(view_mse)
-        all_psnr.append(view_psnr)
-        all_ssim.append(view_ssim)
+            handle = dispatch(sp, item, k)
+            if pending is not None:
+                process(pending)
+            pending = (pi, vi, item, k, t0, handle)
+    if pending is not None:
+        process(pending)
     return all_mse, all_psnr, all_ssim
 
 
@@ -117,6 +145,7 @@ def evaluate_novel_view_pose(
     start_poses: Optional[Dict[str, int]] = None,
     verbose: bool = True,
     gt_fn: Optional[Callable] = None,
+    render_async: Optional[tuple] = None,
 ) -> Dict:
     """Run both protocol passes for every human and serialize metrics.
 
@@ -149,7 +178,7 @@ def evaluate_novel_view_pose(
             mse, psnr, ssim = _eval_pass(
                 render_view, items, sp_mode, novel_views, H, W, save_path,
                 frame_offset=start_poses.get(name, 0) if sp_mode == 0 else 0,
-                verbose=verbose, gt_fn=gt_fn,
+                verbose=verbose, gt_fn=gt_fn, render_async=render_async,
             )
             h_mse.append(mse)
             h_psnr.append(psnr)

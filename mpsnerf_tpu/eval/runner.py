@@ -76,6 +76,25 @@ class _ShiftedWindow:
             yield self.base[i]
 
 
+class _PendingView:
+    """Handle for an in-flight :meth:`ViewRenderer.render_view_async`.
+
+    ``done`` set => already a finished (H*W, 3) host array (chunked
+    fallback path); otherwise ``out`` holds the global path's device
+    outputs awaiting the fetch in :meth:`ViewRenderer.finish_view`."""
+
+    __slots__ = ("out", "n", "meta", "sel", "n_total", "done")
+
+    def __init__(self, out=None, n=0, meta=(), sel=None, n_total=0,
+                 done=None):
+        self.out = out
+        self.n = n
+        self.meta = meta
+        self.sel = sel
+        self.n_total = n_total
+        self.done = done
+
+
 class ViewRenderer:
     """Renders full eval views through a compiled fixed-size ray chunk.
 
@@ -286,11 +305,16 @@ class ViewRenderer:
         fr_d = jnp.asarray(pad(fr, 1.0))
         return ro_d, rd_d, nr_d, fr_d
 
-    def _render_rays_global(
+    def _dispatch_rays_global(
         self, variables, smpl, sp, tp, latent, ro, rd, nr, fr
-    ) -> np.ndarray:
-        """Whole-view render through the global-compaction path; exact
-        (overflow re-renders at the next capacity bucket)."""
+    ):
+        """ENQUEUE a whole-view render on the global-compaction path and
+        return ``(out_device, n, (count, cap, fcap))`` without fetching
+        the image.  The two small ``int(n_valid)`` syncs (the host picks
+        the static capacity buckets) stay here; the ~3 MB rgb fetch is
+        deferred to :meth:`finish_view` so a pipelined caller can keep
+        the device busy on this view while fetching + post-processing the
+        previous one."""
         n = ro.shape[0]
         ro_d, rd_d, nr_d, fr_d = self._pad_rays(ro, rd, nr, fr)
 
@@ -315,10 +339,20 @@ class ViewRenderer:
             plan, fplan, fids, capacity=cap, fine_capacity=fcap,
             tile_=self.tile,
         )
+        return out, n, (count, cap, fcap)
+
+    def _render_rays_global(
+        self, variables, smpl, sp, tp, latent, ro, rd, nr, fr
+    ) -> np.ndarray:
+        """Whole-view render through the global-compaction path; exact
+        (the render consumes the pre-passes' own plans)."""
+        out, n, meta = self._dispatch_rays_global(
+            variables, smpl, sp, tp, latent, ro, rd, nr, fr
+        )
         rgb = np.asarray(out[0])
         # the render consumes the pre-passes' OWN plans resized to
         # buckets >= their n_valid, so dropping is structurally impossible
-        assert int(out[3]) == 0, (int(out[3]), count, cap, fcap)
+        assert int(out[3]) == 0, (int(out[3]),) + meta
         return rgb[:n]
 
     def _view_ray_mask(self, tp_item, k, ray_mask=None):
@@ -362,11 +396,20 @@ class ViewRenderer:
         def device_side(item):
             # cache ON the item dict (like _latent_cache): uploading the
             # item's device arrays costs ~0.3 s/call over the tunnel and
-            # a protocol renders each item up to 8 times
+            # a protocol renders each item up to 8 times.  Rebuild when
+            # the item gained keys since the cache was built: an item
+            # first uploaded as a SOURCE (no body_grid attached) can
+            # later be a TARGET of the novel-view pass — attach_body_grid
+            # then extends the dict but a stale cache would miss the key
+            # (KeyError inside the jitted plan pre-pass).
+            need = {
+                kk for kk in item
+                if kk not in skip and not kk.startswith("_")
+            }
             cached = item.get("_device_cache")
-            if cached is None:
+            if cached is None or not need <= cached.keys():
                 cached = to_device_input(
-                    {kk: vv for kk, vv in item.items() if kk not in skip}
+                    {kk: item[kk] for kk in need}
                 )
                 item["_device_cache"] = cached
             return cached
@@ -443,26 +486,66 @@ class ViewRenderer:
                 warmed.append((cap, fcap))
         return warmed
 
-    def render_view(self, variables, sp_item: Dict, tp_item: Dict, k: int,
-                    ray_mask: Optional[np.ndarray] = None) -> np.ndarray:
-        """Render target view ``k`` of ``tp_item`` conditioned on
-        ``sp_item``.  Returns (H*W, 3) float.  ``ray_mask`` restricts
-        rendering to masked rays (H36M masked-ray mode, all_test.py:384-387);
-        unmasked pixels return 0."""
+    def render_view_async(self, variables, sp_item: Dict, tp_item: Dict,
+                          k: int, ray_mask: Optional[np.ndarray] = None):
+        """Dispatch the render of target view ``k`` and return a pending
+        handle for :meth:`finish_view`.  On the global-compaction path the
+        device render is enqueued but the (H*W, 3) image is NOT fetched —
+        a caller can dispatch view k+1 before finishing view k, so host
+        work (the ~3 MB tunnel fetch, SSIM, PNG writes, GT loads) overlaps
+        the next view's device render (eval is otherwise serial: the
+        device idles during every metric computation).  The chunked
+        fallback path is inherently host-looped and completes eagerly;
+        its handle is already finished — pipelined callers degrade to the
+        sequential behavior, not to an error."""
         ray_mask = self._view_ray_mask(tp_item, k, ray_mask)
         (smpl, sp, tp, latent, ro, rd, nr, fr, sel, n_total) = (
             self._prep_view(variables, sp_item, tp_item, k, ray_mask)
         )
 
         if self.global_compact and "body_grid" in tp_item:
-            rgb = self._render_rays_global(
+            out, n, meta = self._dispatch_rays_global(
                 variables, smpl, sp, tp, latent, ro, rd, nr, fr
             )
-            if sel is not None:
-                full = np.zeros((n_total, 3), np.float32)
-                full[sel] = rgb
-                return full
-            return rgb
+            return _PendingView(
+                out=out, n=n, meta=meta, sel=sel, n_total=n_total
+            )
+        rgb = self._render_view_chunked(
+            variables, smpl, sp, tp, latent, ro, rd, nr, fr, sel, n_total,
+            ray_mask,
+        )
+        return _PendingView(done=rgb)
+
+    def finish_view(self, pending: "_PendingView") -> np.ndarray:
+        """Fetch + post-process a :meth:`render_view_async` handle."""
+        if pending.done is not None:
+            return pending.done
+        rgb = np.asarray(pending.out[0])[: pending.n]
+        # the render consumes the pre-passes' OWN plans resized to
+        # buckets >= their n_valid, so dropping is structurally impossible
+        assert int(pending.out[3]) == 0, (
+            (int(pending.out[3]),) + pending.meta
+        )
+        if pending.sel is not None:
+            full = np.zeros((pending.n_total, 3), np.float32)
+            full[pending.sel] = rgb
+            return full
+        return rgb
+
+    def render_view(self, variables, sp_item: Dict, tp_item: Dict, k: int,
+                    ray_mask: Optional[np.ndarray] = None) -> np.ndarray:
+        """Render target view ``k`` of ``tp_item`` conditioned on
+        ``sp_item``.  Returns (H*W, 3) float.  ``ray_mask`` restricts
+        rendering to masked rays (H36M masked-ray mode, all_test.py:384-387);
+        unmasked pixels return 0."""
+        return self.finish_view(
+            self.render_view_async(variables, sp_item, tp_item, k, ray_mask)
+        )
+
+    def _render_view_chunked(self, variables, smpl, sp, tp, latent,
+                             ro, rd, nr, fr, sel, n_total, ray_mask):
+        """Per-chunk fallback path (host loop over compiled fixed-size
+        chunks with the overflow guard) — synchronous by construction."""
 
         perm = None
         if self.shuffle_rays:
@@ -569,6 +652,11 @@ def run_thuman_eval(
         lambda sp, tp, k: renderer.render_view(variables, sp, tp, k),
         humans, THUMAN_NOVEL_VIEWS, 512, 512, savedir,
         start_poses=start_poses, verbose=verbose,
+        render_async=(
+            lambda sp, tp, k: renderer.render_view_async(variables, sp,
+                                                         tp, k),
+            renderer.finish_view,
+        ),
     )
 
 
@@ -638,6 +726,11 @@ def run_h36m_eval(
         mask = np.asarray(tp["mask_at_box_all"][k])
         return renderer.render_view(variables, sp, tp, k, ray_mask=mask)
 
+    def dispatch_view(sp, tp, k):
+        mask = np.asarray(tp["mask_at_box_all"][k])
+        return renderer.render_view_async(variables, sp, tp, k,
+                                          ray_mask=mask)
+
     try:
         first = humans[name]["novel_view"][0]
         caps = renderer.prewarm(
@@ -655,6 +748,7 @@ def run_h36m_eval(
         render_view, humans, H36M_NOVEL_VIEW, 1000, 1000, savedir,
         start_poses={name: H36M_START_POSE[p]}, verbose=verbose,
         gt_fn=gt_fn,
+        render_async=(dispatch_view, renderer.finish_view),
     )
 
 
@@ -773,4 +867,9 @@ def run_synthetic_eval(
     return evaluate_novel_view_pose(
         lambda sp, tp, k: renderer.render_view(variables, sp, tp, k),
         humans, novel_views, H, W, savedir, verbose=verbose,
+        render_async=(
+            lambda sp, tp, k: renderer.render_view_async(variables, sp,
+                                                         tp, k),
+            renderer.finish_view,
+        ),
     )

@@ -156,3 +156,54 @@ class TestProtocol:
         assert (tmp_path / "novel_pose" / "h0").is_dir()
         files = os.listdir(tmp_path / "novel_pose" / "h0")
         assert any(f.endswith("_gt.png") for f in files)
+
+    def test_pipelined_pass_matches_sequential(self, tmp_path):
+        """render_async pipelining must not change metrics or files —
+        only the host-side ordering (the dispatch of view i+1 happens
+        before view i's finish)."""
+        from mpsnerf_tpu.eval.protocol import evaluate_novel_view_pose
+
+        H = W = 16
+        rng = np.random.default_rng(0)
+
+        def make_item(pose):
+            return {
+                "pose_index": pose,
+                "rgb_all": rng.uniform(size=(2, H * W, 3)).astype(np.float32),
+                "mask_at_box_all": np.ones((2, H * W), bool),
+            }
+
+        items = [make_item(i) for i in range(3)]
+        humans = {"h0": {"novel_pose": items, "novel_view": items[:2]}}
+
+        def render_view(sp, tp, k):
+            return np.asarray(tp["rgb_all"][k]) + 0.01
+
+        order = []
+
+        def dispatch(sp, tp, k):
+            order.append(("dispatch", int(tp["pose_index"]), k))
+            return render_view(sp, tp, k)
+
+        def finish(handle):
+            order.append(("finish",))
+            return handle
+
+        m_seq = evaluate_novel_view_pose(
+            render_view, humans, [0, 1], H, W, str(tmp_path / "seq"),
+            verbose=False,
+        )
+        m_pipe = evaluate_novel_view_pose(
+            render_view, humans, [0, 1], H, W, str(tmp_path / "pipe"),
+            verbose=False, render_async=(dispatch, finish),
+        )
+        for key in ("novel_view_psnr", "novel_pose_psnr",
+                    "novel_view_ssim", "novel_pose_ssim"):
+            np.testing.assert_array_equal(m_seq[key], m_pipe[key])
+        # pipelining actually happened: two dispatches before a finish
+        assert order[0][0] == "dispatch" and order[1][0] == "dispatch"
+        assert order[2] == ("finish",)
+        # same files on disk
+        a = sorted(os.listdir(tmp_path / "seq" / "novel_pose" / "h0"))
+        b = sorted(os.listdir(tmp_path / "pipe" / "novel_pose" / "h0"))
+        assert a == b

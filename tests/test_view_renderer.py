@@ -109,3 +109,42 @@ class TestViewRenderer:
         l0 = items[0]["_latent_cache"]
         l1 = items[1]["_latent_cache"]
         assert float(jnp.abs(l0 - l1).max()) > 0  # distinct encodings
+
+    def test_async_matches_sync_global(self, setup):
+        """render_view_async + finish_view == render_view on the global
+        path, including overlapped dispatches (two in flight)."""
+        ds, items, smpl, model, variables = setup
+        r = ViewRenderer(model, lambda g: smpl, chunk=512, n_samples=8,
+                         global_compact=True)
+        sync0 = r.render_view(variables, items[0], items[0], 1)
+        sync1 = r.render_view(variables, items[1], items[1], 2)
+        h0 = r.render_view_async(variables, items[0], items[0], 1)
+        h1 = r.render_view_async(variables, items[1], items[1], 2)
+        np.testing.assert_array_equal(r.finish_view(h0), sync0)
+        np.testing.assert_array_equal(r.finish_view(h1), sync1)
+
+    def test_async_matches_sync_chunked(self, setup):
+        """The chunked fallback completes eagerly inside the handle."""
+        ds, items, smpl, model, variables = setup
+        r = ViewRenderer(model, lambda g: smpl, chunk=512, n_samples=8,
+                         global_compact=False)
+        sync = r.render_view(variables, items[0], items[0], 1)
+        h = r.render_view_async(variables, items[0], items[0], 1)
+        assert h.done is not None
+        np.testing.assert_array_equal(r.finish_view(h), sync)
+
+    def test_device_cache_refresh_source_then_target(self, setup):
+        """An item first uploaded as a SOURCE (no body_grid attached)
+        must refresh its device cache when later rendered as a TARGET
+        (the novel-view pass reuses pose items): a stale cache misses
+        body_grid and the jitted plan pre-pass raises KeyError."""
+        ds, items, smpl, model, variables = setup
+        i0 = ds.get_item(0, instance_idx=0)
+        i1 = ds.get_item(1, instance_idx=0)
+        r = ViewRenderer(model, lambda g: smpl, chunk=512, n_samples=8,
+                         global_compact=True)
+        r.render_view(variables, i0, i1, 1)   # i0 cached as source only
+        assert "body_grid" not in i0["_device_cache"]
+        out = r.render_view(variables, i0, i0, 1)  # i0 now a target
+        assert "body_grid" in i0["_device_cache"]
+        assert out.shape[1] == 3

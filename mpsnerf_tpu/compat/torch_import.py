@@ -10,9 +10,10 @@ Layout conversions: torch ``nn.Linear`` stores (out, in) -> transposed to
 map to flax scale/bias/mean/var.
 
 Covered modules (the full trained config): encoder_2d (ResNet-34 stages),
-transformer, NeRF MLP heads, latent codes, forward/backward deform fields.
-The sparse-conv 3D encoder uses a different (gather/einsum) weight layout;
-importing it requires spconv's kernel layout and is flagged if present.
+transformer, NeRF MLP heads, latent codes, forward/backward deform fields,
+and the sparse-conv 3D encoder (spconv 1.x/2.x kernels reshaped onto the
+gather/einsum (27, Cin, Cout) layout; full-chain oracle in
+tests/test_sparse_conv.py::TestSpconvImport).
 """
 
 from __future__ import annotations
@@ -165,11 +166,67 @@ def convert_reference_state_dict(
         }}
         params[dst] = f_p
 
+    # ---- 3D sparse-conv encoder (spconv kernels -> gather/einsum) ----
+    # the reference's SparseConvNet (encoder.py:367-527) at num_layers=2
+    # runs conv0 -> down0 -> conv1; its torch module CONSTRUCTS conv2..4 /
+    # down1..3 too, so those keys exist in every checkpoint but are dead
+    # weight — they stay in ``skipped``.  spconv applies torch conv3d
+    # cross-correlation semantics, so weight spatial index k maps to the
+    # neighbor offset k-1 — exactly models/sparse_conv._OFFSETS's
+    # row-major enumeration (the mapping the dense-conv3d oracle tests
+    # pin down, tests/test_sparse_conv.py::TestConvParity).
+    if "encoder_3d.conv0.0.weight" in sd:
+        def spconv_kernel(src):
+            w = take(src + ".weight")
+            if w.shape[:3] == (3, 3, 3):
+                # spconv 1.x layout: (kD, kH, kW, Cin, Cout)
+                w27 = w.reshape(27, w.shape[3], w.shape[4])
+            else:
+                # spconv 2.x KRSC layout (the reference's spconv-cu111):
+                # (Cout, kD, kH, kW, Cin)
+                assert w.shape[1:4] == (3, 3, 3), w.shape
+                w27 = np.transpose(w, (1, 2, 3, 4, 0)).reshape(
+                    27, w.shape[4], w.shape[0]
+                )
+            return {"kernel": np.ascontiguousarray(w27)}
+
+        e3_p: Dict[str, Any] = {}
+        e3_s: Dict[str, Any] = {}
+        for dst, src, kind in (
+            ("conv0_0", "encoder_3d.conv0.0", "conv"),
+            ("conv0_bn0", "encoder_3d.conv0.1", "bn"),
+            ("conv0_1", "encoder_3d.conv0.3", "conv"),
+            ("conv0_bn1", "encoder_3d.conv0.4", "bn"),
+            ("down0", "encoder_3d.down0.0", "conv"),
+            ("down0_bn", "encoder_3d.down0.1", "bn"),
+            ("conv1_0", "encoder_3d.conv1.0", "conv"),
+            ("conv1_bn0", "encoder_3d.conv1.1", "bn"),
+            ("conv1_1", "encoder_3d.conv1.3", "conv"),
+            ("conv1_bn1", "encoder_3d.conv1.4", "bn"),
+        ):
+            if kind == "conv":
+                e3_p[dst] = spconv_kernel(src)
+            else:
+                p, s = bn_pair(src)
+                e3_p[dst] = {"BatchNorm_0": p}
+                e3_s[dst] = {"BatchNorm_0": s}
+        params["encoder_3d"] = e3_p
+        stats["encoder_3d"] = e3_s
+
     skipped = sorted(set(sd) - used)
     report = {
         "consumed": sorted(used & set(sd)),
         "skipped": skipped,
-        "has_encoder_3d": any(k.startswith("encoder_3d.") for k in skipped),
+        # encoder_3d.{conv2..4,down1..3} are constructed-but-never-run
+        # modules of the reference; only OTHER leftover encoder_3d keys
+        # indicate an import gap
+        "has_encoder_3d": any(
+            k.startswith("encoder_3d.")
+            and not k.split(".")[1] in (
+                "conv2", "conv3", "conv4", "down1", "down2", "down3"
+            )
+            for k in skipped
+        ),
     }
     return params, stats, report
 
@@ -180,8 +237,7 @@ def load_reference_checkpoint(tar_path: str, variables: Dict,
     variables.  Returns ``(variables, global_step, report)``.
 
     Converted leaves REPLACE matching leaves of ``variables``; shapes are
-    asserted equal.  The sparse 3D encoder (if trained) is reported but
-    not imported (layout mismatch, see module docstring).
+    asserted equal.
     """
     import copy
 

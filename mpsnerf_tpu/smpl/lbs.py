@@ -69,6 +69,11 @@ class PoseTransforms(NamedTuple):
     R: jnp.ndarray              # (3, 3) global rotation (world<->smpl)
     Th: jnp.ndarray             # (3,)  global translation
     joints: jnp.ndarray         # (24, 3) rest joints
+    # (V, 30) = [blend weights | pose offsets | shape offsets]: TPU
+    # gathers cost ~9 ns per INDEX regardless of slice width, so the
+    # warps fetch all three per-vertex tables with ONE row gather
+    # instead of three (~70 ms/image at the eval point count)
+    vert_table: jnp.ndarray
 
     @staticmethod
     def create(smpl: SMPLModel, params) -> "PoseTransforms":
@@ -77,14 +82,19 @@ class PoseTransforms(NamedTuple):
         shapes = params["shapes"].reshape(-1)
         A, joints = transform_params(smpl, poses, shapes)
         A_big, _ = transform_params(smpl, big_pose_vector(poses.dtype), shapes)
+        pose_off = pose_blend_offsets(smpl, poses)
+        shape_off = shape_blend_offsets(smpl, shapes)
         return PoseTransforms(
             A=A,
             A_big=A_big,
-            pose_offsets=pose_blend_offsets(smpl, poses),
-            shape_offsets=shape_blend_offsets(smpl, shapes),
+            pose_offsets=pose_off,
+            shape_offsets=shape_off,
             R=params["R"].reshape(3, 3),
             Th=params["Th"].reshape(3),
-        joints=joints,
+            joints=joints,
+            vert_table=jnp.concatenate(
+                [jnp.asarray(smpl.weights), pose_off, shape_off], axis=-1
+            ),
         )
 
 
@@ -104,15 +114,16 @@ def deform_target_to_canonical(
 
     Ref: ``coarse_deform_target2c`` (lib/skinnning_batch.py:203-251).
     """
-    bweights = jnp.asarray(smpl.weights)[vert_ids]  # (N, 24)
+    tab = tf.vert_table[vert_ids]  # one (30,) row gather per point
+    bweights = tab[:, :24]
 
     A = _blend_A(bweights, tf.A)
     can = query_pts - A[:, :3, 3]
     can = jnp.einsum("nij,nj->ni", inv3x3(A[:, :3, :3]), can)
 
     if mean_shape:
-        can = can - tf.pose_offsets[vert_ids]
-        can = can - tf.shape_offsets[vert_ids]
+        can = can - tab[:, 24:27]  # pose offsets
+        can = can - tab[:, 27:30]  # shape offsets
 
     A_b = _blend_A(bweights, tf.A_big)
     can = jnp.einsum("nij,nj->ni", A_b[:, :3, :3], can) + A_b[:, :3, 3]
@@ -137,8 +148,9 @@ def deform_target_to_canonical_with_weights(
         from mpsnerf_tpu.ops.knn import nearest_vertex
 
         _, vert_ids = nearest_vertex(query_pts, smpl.v_template)
-        can = can - tf.pose_offsets[vert_ids]
-        can = can - tf.shape_offsets[vert_ids]
+        tab = tf.vert_table[vert_ids]
+        can = can - tab[:, 24:27]
+        can = can - tab[:, 27:30]
     A_b = _blend_A(bweights, tf.A_big)
     return jnp.einsum("nij,nj->ni", A_b[:, :3, :3], can) + A_b[:, :3, 3]
 
@@ -157,7 +169,8 @@ def deform_canonical_to_source(
     Ref: ``coarse_deform_c2source`` (lib/skinnning_batch.py:253-300) —
     including the 0.2-scaled skinning-field correction and renormalization.
     """
-    bweights = jnp.asarray(smpl.weights)[vert_ids]  # (N, 24)
+    tab = tf.vert_table[vert_ids]  # one (30,) row gather per point
+    bweights = tab[:, :24]
     if weights_correction is not None:
         bweights = bweights + 0.2 * weights_correction
         bweights = bweights / jnp.sum(bweights, axis=-1, keepdims=True)
@@ -168,8 +181,8 @@ def deform_canonical_to_source(
     pts = jnp.einsum("nij,nj->ni", inv3x3(A_b[:, :3, :3]), pts)
 
     if mean_shape:
-        pts = pts + tf.shape_offsets[vert_ids]
-        pts = pts + tf.pose_offsets[vert_ids]
+        pts = pts + tab[:, 27:30]  # shape offsets
+        pts = pts + tab[:, 24:27]  # pose offsets
 
     # T pose -> source pose
     A_s = _blend_A(bweights, tf.A)

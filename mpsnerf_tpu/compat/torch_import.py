@@ -176,36 +176,47 @@ def convert_reference_state_dict(
     # row-major enumeration (the mapping the dense-conv3d oracle tests
     # pin down, tests/test_sparse_conv.py::TestConvParity).
     if "encoder_3d.conv0.0.weight" in sd:
-        def spconv_kernel(src):
+        def spconv_kernel(src, ci, co):
+            """Disambiguate by the layer's KNOWN channel dims (shape
+            sniffing alone misreads a 2.x kernel with Cout == 3 as 1.x
+            and silently mis-reshapes it)."""
             w = take(src + ".weight")
-            if w.shape[:3] == (3, 3, 3):
+            ambiguous = ci == 3 and co == 3  # (3,3,3,3,3) fits BOTH layouts
+            if w.shape == (3, 3, 3, ci, co) and not ambiguous:
                 # spconv 1.x layout: (kD, kH, kW, Cin, Cout)
-                w27 = w.reshape(27, w.shape[3], w.shape[4])
-            else:
+                w27 = w.reshape(27, ci, co)
+            elif w.shape == (co, 3, 3, 3, ci) and not ambiguous:
                 # spconv 2.x KRSC layout (the reference's spconv-cu111):
                 # (Cout, kD, kH, kW, Cin)
-                assert w.shape[1:4] == (3, 3, 3), w.shape
-                w27 = np.transpose(w, (1, 2, 3, 4, 0)).reshape(
-                    27, w.shape[4], w.shape[0]
+                w27 = np.transpose(w, (1, 2, 3, 4, 0)).reshape(27, ci, co)
+            elif ambiguous and w.shape == (3, 3, 3, 3, 3):
+                raise ValueError(
+                    f"{src}: ambiguous spconv kernel shape {w.shape} "
+                    f"(Cin == Cout == 3 fits both layouts); cannot infer"
+                )
+            else:
+                raise ValueError(
+                    f"{src}: unrecognized spconv kernel shape {w.shape} "
+                    f"for Cin={ci}, Cout={co}"
                 )
             return {"kernel": np.ascontiguousarray(w27)}
 
         e3_p: Dict[str, Any] = {}
         e3_s: Dict[str, Any] = {}
-        for dst, src, kind in (
-            ("conv0_0", "encoder_3d.conv0.0", "conv"),
-            ("conv0_bn0", "encoder_3d.conv0.1", "bn"),
-            ("conv0_1", "encoder_3d.conv0.3", "conv"),
-            ("conv0_bn1", "encoder_3d.conv0.4", "bn"),
-            ("down0", "encoder_3d.down0.0", "conv"),
-            ("down0_bn", "encoder_3d.down0.1", "bn"),
-            ("conv1_0", "encoder_3d.conv1.0", "conv"),
-            ("conv1_bn0", "encoder_3d.conv1.1", "bn"),
-            ("conv1_1", "encoder_3d.conv1.3", "conv"),
-            ("conv1_bn1", "encoder_3d.conv1.4", "bn"),
+        for dst, src, dims in (
+            ("conv0_0", "encoder_3d.conv0.0", (3, 16)),
+            ("conv0_bn0", "encoder_3d.conv0.1", None),
+            ("conv0_1", "encoder_3d.conv0.3", (16, 16)),
+            ("conv0_bn1", "encoder_3d.conv0.4", None),
+            ("down0", "encoder_3d.down0.0", (16, 32)),
+            ("down0_bn", "encoder_3d.down0.1", None),
+            ("conv1_0", "encoder_3d.conv1.0", (32, 32)),
+            ("conv1_bn0", "encoder_3d.conv1.1", None),
+            ("conv1_1", "encoder_3d.conv1.3", (32, 32)),
+            ("conv1_bn1", "encoder_3d.conv1.4", None),
         ):
-            if kind == "conv":
-                e3_p[dst] = spconv_kernel(src)
+            if dims is not None:
+                e3_p[dst] = spconv_kernel(src, *dims)
             else:
                 p, s = bn_pair(src)
                 e3_p[dst] = {"BatchNorm_0": p}

@@ -121,12 +121,20 @@ def _eval_pass(
         all_psnr[pi][vi] = psnr
         all_ssim[pi][vi] = ssim
 
+    # pipeline depth 1 only with a real async pair: in the sequential
+    # fallback, deferring process() past the NEXT dispatch (a full
+    # synchronous render) would make the verbose per-image time span two
+    # renders
+    pipelined = render_async is not None
     pending = None
     for pi, item in enumerate(tp_items):
         sp = sp_item if sp_item is not None else item
         for vi, k in enumerate(novel_views):
             t0 = time.time()
             handle = dispatch(sp, item, k)
+            if not pipelined:
+                process((pi, vi, item, k, t0, handle))
+                continue
             if pending is not None:
                 process(pending)
             pending = (pi, vi, item, k, t0, handle)

@@ -194,7 +194,11 @@ def plan_compaction_two_level(
 
     Returns a plan whose ``gather_idx``/``n_valid`` equal the exact
     plan's; ``slot``/``take`` are exact too (mapped back through the
-    block layer).
+    block layer).  ``n_valid`` is computed from the FULL mask (not the
+    block buffer), so a ``block_capacity`` overflow — kept blocks beyond
+    it are dropped and their rows lost — is detectable the same way
+    capacity overflow is: ``n_valid`` exceeds the rows actually planned,
+    and the caller's n_dropped check fires.
     """
     n = mask.shape[0]
     bplan = plan_compaction_blocks(mask, block_capacity, block)
@@ -217,7 +221,7 @@ def plan_compaction_two_level(
         gather_idx=gather_idx,
         slot=jnp.where(take, slot_c, jnp.clip(slot_c, 0, capacity - 1)),
         take=take,
-        n_valid=inner.n_valid,
+        n_valid=jnp.sum(maski),
     )
 
 

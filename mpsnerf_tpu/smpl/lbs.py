@@ -64,16 +64,24 @@ class PoseTransforms(NamedTuple):
 
     A: jnp.ndarray              # (24, 4, 4) joint rigid transforms
     A_big: jnp.ndarray          # (24, 4, 4) big-pose joint transforms
-    pose_offsets: jnp.ndarray   # (V, 3) per-vertex pose blend offsets
-    shape_offsets: jnp.ndarray  # (V, 3) per-vertex shape blend offsets
     R: jnp.ndarray              # (3, 3) global rotation (world<->smpl)
     Th: jnp.ndarray             # (3,)  global translation
     joints: jnp.ndarray         # (24, 3) rest joints
     # (V, 30) = [blend weights | pose offsets | shape offsets]: TPU
     # gathers cost ~9 ns per INDEX regardless of slice width, so the
     # warps fetch all three per-vertex tables with ONE row gather
-    # instead of three (~70 ms/image at the eval point count)
+    # instead of three (~70 ms/image at the eval point count).  The
+    # table is the ONLY copy of the offsets (no standalone fields to
+    # drift out of sync); slice 24:27 = pose, 27:30 = shape.
     vert_table: jnp.ndarray
+
+    @property
+    def pose_offsets(self) -> jnp.ndarray:  # (V, 3)
+        return self.vert_table[:, 24:27]
+
+    @property
+    def shape_offsets(self) -> jnp.ndarray:  # (V, 3)
+        return self.vert_table[:, 27:30]
 
     @staticmethod
     def create(smpl: SMPLModel, params) -> "PoseTransforms":
@@ -87,8 +95,6 @@ class PoseTransforms(NamedTuple):
         return PoseTransforms(
             A=A,
             A_big=A_big,
-            pose_offsets=pose_off,
-            shape_offsets=shape_off,
             R=params["R"].reshape(3, 3),
             Th=params["Th"].reshape(3),
             joints=joints,

@@ -97,6 +97,15 @@ def main():
         "rays_per_sec": round(SIZE * SIZE * n_views / total, 1),
         "pipelined_total_ms": round(pipe_total * 1e3, 1),
         "pipelined_view_ms": round(pipe_total / n_views * 1e3, 1),
+        # per-view stage latencies keep the recompile-outlier check
+        # meaningful in the pipelined loop too
+        "pipelined_per_view_ms": [round(t * 1e3, 1) for t in pipe_times],
+        "pipelined_median_view_ms": round(
+            float(np.median(pipe_times)) * 1e3, 1
+        ),
+        "pipelined_max_over_median": round(
+            float(np.max(pipe_times)) / float(np.median(pipe_times)), 2
+        ),
         "pipelined_rays_per_sec": round(
             SIZE * SIZE * n_views / pipe_total, 1
         ),

@@ -168,6 +168,9 @@ def main():
             print(f"{label:28s} FAILED: {type(e).__name__}: {str(e)[:200]}")
 
     # exactness of the best variant vs the XLA oracle on a subset
+    if not results:
+        print("every variant failed; base-kernel numbers above stand")
+        return
     sub = 131072
     d2x, idsx = nearest_vertex_xla(query[:sub], verts)
     best_label = min(results, key=lambda k: results[k][0])

@@ -137,11 +137,17 @@ def main():
         nr = jnp.asarray(near_all[sel])
         fr = jnp.asarray(far_all[sel])
 
+        # MPSNERF_BENCH_PLAN2L=0.5: build the SAME exact plan via the
+        # two-level form (scatter at frac*M instead of M) — A/B switch
+        # for the round-3 plan-cost experiment (read once at startup,
+        # baked into this jit)
+        plan2l = float(os.environ.get("MPSNERF_BENCH_PLAN2L", "0"))
+
         @jax.jit
         def plan_fn(a, b, c, d):
             return plan_rays_compact(
                 smpl, inp, a, b, c, d, key, n_samples=N_SAMPLES,
-                perturb=0.0,
+                perturb=0.0, two_level_frac=plan2l,
             )
 
         # exact capacities from one setup pre-pass: the plans cover the

@@ -119,6 +119,10 @@ class ViewRenderer:
         tile: int = 16384,
         fine: bool = True,      # stage-2 exact-mask pre-pass (see prewarm)
         box_cull: bool = True,  # render only AABB-hit rays (exact)
+        # >0: build the (identical) plan via plan_compaction_two_level
+        # with a frac*M block buffer — cheaper gather_idx scatter; loss
+        # on block-buffer overflow surfaces through n_dropped
+        plan_two_level_frac: float = 0.0,
     ):
         self.fine = fine
         self.box_cull = box_cull
@@ -210,11 +214,14 @@ class ViewRenderer:
                     plan=plan, fine_plan=fplan, fine_ids=fids,
                 )
 
+            plan2l_ = plan_two_level_frac
+
             @jax.jit
             def plan_fn(smpl, tp, ro, rd, nr, fr):
                 return plan_rays_compact(
                     smpl, tp, ro, rd, nr, fr, jax.random.PRNGKey(0),
                     n_samples=n_samples_, perturb=0.0,
+                    two_level_frac=plan2l_,
                 )
 
             @functools.partial(jax.jit, static_argnames=("capacity",))

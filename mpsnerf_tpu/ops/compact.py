@@ -22,6 +22,11 @@ class Compaction(NamedTuple):
     slot: jnp.ndarray        # (N,) buffer slot of each source row (clipped)
     take: jnp.ndarray        # (N,) bool: row is valid AND within capacity
     n_valid: jnp.ndarray     # () number of valid rows (pre-drop)
+    # () valid rows LOST before slot assignment (only the two-level
+    # plan's block-buffer overflow sets this; capacity overflow is the
+    # separate n_valid-vs-capacity check).  Renderers fold it into
+    # n_dropped so exactness asserts fire.
+    n_lost: jnp.ndarray | int = 0
 
 
 def plan_compaction(mask: jnp.ndarray, capacity: int) -> Compaction:
@@ -62,6 +67,7 @@ def resize_plan(plan: Compaction, capacity: int) -> Compaction:
         slot=jnp.minimum(plan.slot, capacity - 1),
         take=plan.take & (plan.slot < capacity),
         n_valid=plan.n_valid,
+        n_lost=plan.n_lost,
     )
 
 
@@ -195,10 +201,15 @@ def plan_compaction_two_level(
     Returns a plan whose ``gather_idx``/``n_valid`` equal the exact
     plan's; ``slot``/``take`` are exact too (mapped back through the
     block layer).  ``n_valid`` is computed from the FULL mask (not the
-    block buffer), so a ``block_capacity`` overflow — kept blocks beyond
-    it are dropped and their rows lost — is detectable the same way
-    capacity overflow is: ``n_valid`` exceeds the rows actually planned,
-    and the caller's n_dropped check fires.
+    block buffer), and a ``block_capacity`` overflow — kept blocks
+    beyond it are dropped and their valid rows lost — is reported in
+    ``n_lost`` (callers fold it into their n_dropped exactness checks).
+
+    The returned ``gather_idx`` has ``min(capacity, block_capacity)``
+    slots, NOT ``capacity``: every valid row lives inside the block
+    buffer, so longer prefixes can't contain valid rows — and composing
+    at full capacity would cost the N-sized gather this function exists
+    to avoid.  ``resize_plan`` to any bucket <= that length as usual.
     """
     n = mask.shape[0]
     bplan = plan_compaction_blocks(mask, block_capacity, block)
@@ -209,6 +220,7 @@ def plan_compaction_two_level(
         maski[bplan.gather_idx],
         0,
     )
+    capacity = min(capacity, block_capacity)
     inner = plan_compaction(mask_c, capacity)
     # compose: buffer slot -> block-buffer row -> source row
     gather_idx = bplan.gather_idx[inner.gather_idx]
@@ -217,11 +229,14 @@ def plan_compaction_two_level(
     take = bplan.take & inner.take[
         jnp.clip(bplan.slot, 0, block_capacity - 1)
     ] & (maski > 0)
+    # kept-block slots beyond the block buffer never reach the inner
+    # plan: their valid rows are sum(mask) - sum(mask_c)
     return Compaction(
         gather_idx=gather_idx,
         slot=jnp.where(take, slot_c, jnp.clip(slot_c, 0, capacity - 1)),
         take=take,
         n_valid=jnp.sum(maski),
+        n_lost=jnp.sum(maski) - jnp.sum(mask_c),
     )
 
 

@@ -362,7 +362,7 @@ class TestBlockPlans:
     def test_two_level_equals_exact(self):
         from mpsnerf_tpu.ops.compact import (
             expand_gather, expand_scatter, plan_compaction,
-            plan_compaction_two_level,
+            plan_compaction_two_level, resize_plan,
         )
 
         rng = np.random.default_rng(1)
@@ -371,10 +371,15 @@ class TestBlockPlans:
         mb = m.reshape(-1, block).max(1)
         bcap = int(mb.sum()) * block + 2 * block  # headroom
         for cap in (n, 1024):
-            exact = plan_compaction(jnp.asarray(m), cap)
             two = plan_compaction_two_level(jnp.asarray(m), cap, bcap, block)
+            assert int(two.n_lost) == 0
+            # contract: gather_idx has min(cap, bcap) slots — every
+            # valid row fits in the block buffer
+            eff = min(cap, bcap)
+            assert two.gather_idx.shape == (eff,)
+            exact = resize_plan(plan_compaction(jnp.asarray(m), cap), eff)
             assert int(two.n_valid) == int(exact.n_valid)
-            nv = min(int(exact.n_valid), cap)
+            nv = min(int(exact.n_valid), eff)
             np.testing.assert_array_equal(
                 np.asarray(two.gather_idx)[:nv],
                 np.asarray(exact.gather_idx)[:nv],
@@ -388,7 +393,7 @@ class TestBlockPlans:
                 np.asarray(two.slot)[tk], np.asarray(exact.slot)[tk]
             )
             # both expand forms round-trip identically
-            buf = rng.normal(size=(cap, 2)).astype(np.float32)
+            buf = rng.normal(size=(eff, 2)).astype(np.float32)
             np.testing.assert_array_equal(
                 np.asarray(expand_scatter(two, jnp.asarray(buf), -1.0)),
                 np.asarray(expand_scatter(exact, jnp.asarray(buf), -1.0)),
@@ -397,3 +402,9 @@ class TestBlockPlans:
                 np.asarray(expand_gather(two, jnp.asarray(buf), -1.0)),
                 np.asarray(expand_gather(exact, jnp.asarray(buf), -1.0)),
             )
+        # block-buffer overflow is REPORTED, not silent: a tiny buffer
+        # loses rows and n_lost says how many
+        tight = int(mb.sum()) * block - 2 * block
+        lossy = plan_compaction_two_level(jnp.asarray(m), n, tight, block)
+        assert int(lossy.n_lost) > 0
+        assert int(lossy.n_valid) == int(m.sum())

@@ -148,3 +148,15 @@ class TestViewRenderer:
         out = r.render_view(variables, i0, i0, 1)  # i0 now a target
         assert "body_grid" in i0["_device_cache"]
         assert out.shape[1] == 3
+
+    def test_two_level_plan_matches_default(self, setup):
+        """plan_two_level_frac builds the identical plan — rendered
+        pixels must be bit-equal to the default exact-plan path."""
+        ds, items, smpl, model, variables = setup
+        r0 = ViewRenderer(model, lambda g: smpl, chunk=512, n_samples=8,
+                          global_compact=True)
+        r2 = ViewRenderer(model, lambda g: smpl, chunk=512, n_samples=8,
+                          global_compact=True, plan_two_level_frac=0.75)
+        a = r0.render_view(variables, items[0], items[0], 1)
+        b = r2.render_view(variables, items[0], items[0], 1)
+        np.testing.assert_array_equal(a, b)

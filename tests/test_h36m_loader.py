@@ -58,9 +58,9 @@ def h36m_root(tmp_path_factory):
             rel = os.path.join(f"Camera_B{v + 1}", f"{f:06d}.jpg")
             paths.append(rel)
             img = np.zeros((SRC, SRC, 3), np.uint8)
-            img[80:120, 80:120] = rng.integers(64, 255, (40, 40, 3))
+            img[90:110, 90:110] = rng.integers(64, 255, (20, 20, 3))
             msk = np.zeros((SRC, SRC), np.uint8)
-            msk[80:120, 80:120] = 255
+            msk[90:110, 90:110] = 255
             ipath = root / rel
             mpath = root / "mask_cihp" / rel.replace("jpg", "png")
             ipath.parent.mkdir(parents=True, exist_ok=True)
@@ -73,7 +73,7 @@ def h36m_root(tmp_path_factory):
 
     (root / "new_vertices").mkdir()
     (root / "new_params").mkdir()
-    verts = (0.2 * rng.standard_normal((300, 3))).astype(np.float32)
+    verts = (0.08 * rng.standard_normal((300, 3))).astype(np.float32)
     Rh = np.array([0.0, 0.0, 0.3], np.float32)  # axis-angle global rot
     for f in range(N_FRAMES):
         np.save(root / "new_vertices" / f"{f:d}.npy", verts)
@@ -165,3 +165,61 @@ class TestH36MLoader:
         assert 0 <= int(pair["tp_input"]["pose_index"]) < 3
         # train split samples N_rand rays
         assert pair["sp_input"]["rgb_all"].shape[1] == 16
+
+
+class TestH36MEvalEntryPoint:
+    def test_run_h36m_eval_end_to_end(self, h36m_root, tmp_path,
+                                      monkeypatch):
+        """run_h36m_eval end-to-end on the fixture: per-subject tables,
+        _SpThenWindow, masked-ray dispatch through the pipelined pass,
+        o_img GT, metrics at the protocol's 1000x1000.  Tables are
+        monkeypatched to one pose so the CPU render stays small."""
+        import types
+
+        import jax
+        import jax.numpy as jnp
+
+        from mpsnerf_tpu.eval import runner as R
+        from mpsnerf_tpu.models.mps_nerf import MPSNeRF
+        from mpsnerf_tpu.smpl.model import synthetic_smpl
+        from mpsnerf_tpu.train.trainer import to_device_input
+
+        monkeypatch.setattr(R, "H36M_ROOTS", [h36m_root])
+        monkeypatch.setattr(R, "H36M_SUBJECTS", ["S9"])
+        monkeypatch.setattr(R, "H36M_POSES_NUM", [1])
+        monkeypatch.setattr(R, "H36M_NOVEL_VIEW_POSES_NUM", [1])
+        monkeypatch.setattr(R, "H36M_INPUT_POSE", [0])
+        monkeypatch.setattr(R, "H36M_START_POSE", [1])
+        # prewarm compiles a spread of capacity buckets (minutes on
+        # CPU) and is covered by its own tests — skip it here
+        monkeypatch.setattr(
+            R.ViewRenderer, "prewarm", lambda self, *a, **k: []
+        )
+
+        smpl = synthetic_smpl(n_verts=300, seed=0)
+        model = MPSNeRF(num_instances=1)
+        ds = R.H36MDatasetBatch if False else None  # noqa: F841
+        from mpsnerf_tpu.data.h36m import H36MDatasetBatch
+
+        probe = H36MDatasetBatch(
+            h36m_root, split="test", view_num=3, N_rand=16,
+            start=0, interval=1, poses_num=1, mean_shape=0, seed=0,
+        )
+        inp = to_device_input(probe.get_item(0))
+        variables = model.init(
+            {"params": jax.random.PRNGKey(0)}, smpl, inp, inp,
+            jnp.zeros((8, 3)), jnp.zeros((8, 3)), train=False,
+        )
+        args = types.SimpleNamespace(
+            test_persons=0, test_split="test", view_num=3, mean_shape=0,
+            new_mask=0, chunk=1024, N_samples=4, white_bkgd=0,
+        )
+        m = R.run_h36m_eval(
+            args, model, variables, lambda g: smpl, str(tmp_path),
+            verbose=False,
+        )
+        assert (tmp_path / "metrics.json").exists()
+        assert np.isfinite(m["novel_view_mean_human"]).all()
+        assert np.isfinite(m["novel_pose_mean_human"]).all()
+        # protocol shape: 1 human x 1 pose x 1 view
+        assert m["novel_view_psnr"].shape == (1, 1, 1)

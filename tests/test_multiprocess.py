@@ -29,9 +29,14 @@ def _free_port():
 @pytest.mark.timeout(600)
 def test_two_process_train_step_parity():
     port = _free_port()
+    # strip the tunneled-TPU plumbing too: PALLAS_AXON_* makes the
+    # sitecustomize register the axon PJRT plugin at interpreter start,
+    # and a wedged tunnel then hangs the workers before they ever set
+    # JAX_PLATFORMS=cpu — this test must never depend on device state
     env = {
         k: v for k, v in os.environ.items()
         if k not in ("XLA_FLAGS", "JAX_PLATFORMS")
+        and not k.startswith("PALLAS_AXON")
     }
     procs = [
         subprocess.Popen(
@@ -41,7 +46,17 @@ def test_two_process_train_step_parity():
         )
         for i in range(2)
     ]
-    outs = [p.communicate(timeout=560)[0] for p in procs]
+    try:
+        outs = [p.communicate(timeout=560)[0] for p in procs]
+    except subprocess.TimeoutExpired:
+        # never leak CPU-burning workers into later tests
+        for p in procs:
+            p.kill()
+        outs = [p.communicate()[0] for p in procs]
+        raise AssertionError(
+            "worker timeout; partial output:\n"
+            + "\n---\n".join(o[-2000:] for o in outs)
+        )
     losses = []
     for i, (p, out) in enumerate(zip(procs, outs)):
         ok_lines = [l for l in out.splitlines() if l.startswith("MP_OK")]

@@ -251,7 +251,7 @@ class CorrectionF3D(nn.Module):
         f2d = index_features_patch(latent, uv, image_size)  # (V, C, N)
         f2d = f2d.transpose(0, 2, 1)  # (V, N, C)
         if self.use_transformer:
-            fused = self.transformer(f2d)
+            fused = self.transformer(f2d, out_views=2)
             f1, f2 = fused[0], fused[1]
         else:
             f1 = f2 = jnp.mean(f2d, axis=0)

@@ -292,7 +292,10 @@ class MPSNeRF(nn.Module):
             return feats
 
         if self.use_transformer:
-            fused = self.transformer(feats)  # (V, N, C), view-major
+            # only fused[0]/fused[1] are read — the last layer skips the
+            # remaining views' rows (bit-identical, ~1/3 less last-layer
+            # work at V=3; models/transformer.py)
+            fused = self.transformer(feats, out_views=2)  # (2, N, C)
             f1 = fused[0]
             f2 = fused[1]
         else:

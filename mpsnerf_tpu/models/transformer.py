@@ -34,8 +34,9 @@ class _Attention(nn.Module):
     dtype: object = None  # compute dtype (params stay fp32)
 
     @nn.compact
-    def __call__(self, x):  # x: (V, N, D)
+    def __call__(self, x, out_views=None):  # x: (V, N, D)
         v_views, n, _ = x.shape
+        out_v = out_views or v_views
         inner = self.heads * self.dim_head
         qkv = TorchLinear(
             inner * 3, use_bias=False, dtype=self.dtype, name="to_qkv"
@@ -50,8 +51,11 @@ class _Attention(nn.Module):
         def head(t, h):
             return t[:, h * self.dim_head : (h + 1) * self.dim_head]
 
+        # queries only for the first out_v views (keys/values still mix
+        # every view): callers that read only views [:out_v] of the
+        # output skip the unread rows' attention mix + out-projection
         outs = []
-        for i in range(v_views):
+        for i in range(out_v):
             head_outs = []
             for h in range(self.heads):
                 qi = head(qs[i], h)
@@ -105,16 +109,26 @@ class ViewFusionTransformer(nn.Module):
     dtype: object = None  # compute dtype; LayerNorm stats stay fp32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, out_views=None):
+        """``out_views``: callers that read only the first ``out_views``
+        rows of the output (the model reads fused[0]/fused[1] only) can
+        say so — the LAST layer then computes attention queries, the
+        out-projection, and the feed-forward for those rows alone.
+        Earlier layers stay full (their outputs feed every view's keys/
+        values).  The kept rows are bit-identical to the full forward
+        (same params, same math; XLA cannot DCE the dead rows itself
+        through the matmuls)."""
         for i in range(self.depth):
+            last = i == self.depth - 1
+            ov = out_views if (last and out_views) else None
             # torch nn.LayerNorm eps (reference parity; flax default is 1e-6)
             y = nn.LayerNorm(
                 epsilon=1e-5, dtype=self.dtype, name=f"norm_attn_{i}"
             )(x)
-            x = x + _Attention(
+            x = (x[:ov] if ov else x) + _Attention(
                 self.dim, self.heads, self.dim_head, dtype=self.dtype,
                 name=f"attn_{i}",
-            )(y)
+            )(y, out_views=ov)
             y = nn.LayerNorm(
                 epsilon=1e-5, dtype=self.dtype, name=f"norm_ff_{i}"
             )(x)

@@ -408,3 +408,20 @@ class TestBlockPlans:
         lossy = plan_compaction_two_level(jnp.asarray(m), n, tight, block)
         assert int(lossy.n_lost) > 0
         assert int(lossy.n_valid) == int(m.sum())
+
+
+class TestTransformerOutViews:
+    def test_out_views_matches_full_forward(self):
+        """out_views computes exactly the full forward's first rows
+        (same params, same math) — the dropped rows are the only
+        difference."""
+        import jax
+        from mpsnerf_tpu.models.transformer import ViewFusionTransformer
+
+        model = ViewFusionTransformer(dim=32, mlp_dim=32)
+        x = jax.random.normal(jax.random.PRNGKey(0), (3, 64, 32))
+        variables = model.init(jax.random.PRNGKey(1), x)
+        full = model.apply(variables, x)
+        cut = model.apply(variables, x, out_views=2)
+        assert cut.shape == (2, 64, 32)
+        np.testing.assert_array_equal(np.asarray(cut), np.asarray(full[:2]))

@@ -1,0 +1,39 @@
+#!/bin/bash
+# Round-3 measurement batch — run when the tunneled chip is live.
+# Everything unbuffered; NOTHING here kills a device-holding process
+# (a timeout-kill mid-claim wedged the tunnel on 2026-08-17).
+#
+#   cd /root/repo && bash tools/round3_measure.sh 2>&1 | tee /tmp/r3_measure.log
+set -u
+cd /root/repo
+PY="python -u"
+
+echo "=== liveness (bail if the tunnel is wedged) ==="
+timeout 300 $PY -c "
+import numpy as np, jax, jax.numpy as jnp
+print('alive:', np.asarray(jnp.sum(jnp.arange(8.0))))" || {
+  echo "DEVICE DEAD — aborting before anything claims it"; exit 3; }
+
+echo "=== bench: default (LBS fused table + transformer out_views) ==="
+$PY bench.py
+
+echo "=== bench: two-level plan A/B ==="
+MPSNERF_BENCH_PLAN2L=0.5 MPSNERF_BENCH_TRAIN=0 $PY bench.py
+
+echo "=== bench: fp32 / cull-off rows for BASELINE.md ==="
+MPSNERF_BENCH_DTYPE=float32 MPSNERF_BENCH_TRAIN=0 $PY bench.py
+MPSNERF_BENCH_CULL=0 MPSNERF_BENCH_TRAIN=0 $PY bench.py
+
+echo "=== tail stage attribution ==="
+PYTHONPATH=/root/repo:/root/.axon_site $PY tools/tail_stage_probe.py
+
+echo "=== block-gather rates (two-level plan go/no-go detail) ==="
+PYTHONPATH=/root/repo:/root/.axon_site $PY tools/block_gather_probe.py
+
+echo "=== plan formulations ==="
+PYTHONPATH=/root/repo:/root/.axon_site $PY tools/plan_probe.py
+
+echo "=== eval latency artifact (sequential + pipelined) ==="
+PYTHONPATH=/root/repo:/root/.axon_site $PY tools/eval_latency_probe.py
+
+echo "=== done ==="

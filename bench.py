@@ -46,30 +46,36 @@ def main():
 
     # device-liveness watchdog: if device OPS hang after a successful
     # claim, fail with a diagnostic line instead of hanging the driver's
-    # bench run.  LIMITATION (measured on the 2026-08-17 wedge): when
-    # the tunnel claim itself is stale, the hang happens inside the
-    # sitecustomize's PJRT registration at interpreter start — before
-    # ANY code in this file runs — so no in-process watchdog can catch
-    # that mode; only the invoker's own timeout can.  The probe op is
+    # bench run.  A watchdog THREAD (not SIGALRM: a Python signal
+    # handler only runs between bytecodes, and the hang is inside a
+    # blocking C PJRT call that never returns to the interpreter) —
+    # os._exit works from any thread.  LIMITATION (measured on the
+    # 2026-08-17 wedge): when the tunnel claim itself is stale, the hang
+    # happens inside the sitecustomize's PJRT registration at
+    # interpreter start, before ANY code in this file runs; only the
+    # invoker's own timeout can catch that mode.  The probe op is
     # trivial; 600 s never trips on slow compiles (the real programs
-    # compile AFTER this, unalarmed).
-    import signal
-
-    def _dead(_sig, _frm):
-        print(json.dumps({
-            "metric": "render_rays_per_sec_512x512x128",
-            "value": 0.0, "unit": "rays/s/chip", "vs_baseline": 0.0,
-            "error": "device unresponsive: trivial op did not complete "
-                     "in 600 s (wedged tunnel / stale device claim?)",
-        }))
-        sys.stdout.flush()
-        os._exit(3)
-
+    # compile AFTER this, unwatched).
     import os
-    signal.signal(signal.SIGALRM, _dead)
-    signal.alarm(600)
+    import threading
+
+    alive = threading.Event()
+
+    def _watch():
+        if not alive.wait(600):
+            print(json.dumps({
+                "metric": "render_rays_per_sec_512x512x128",
+                "value": 0.0, "unit": "rays/s/chip", "vs_baseline": 0.0,
+                "error": "device unresponsive: trivial op did not "
+                         "complete in 600 s (wedged tunnel / stale "
+                         "device claim?)",
+            }))
+            sys.stdout.flush()
+            os._exit(3)
+
+    threading.Thread(target=_watch, daemon=True).start()
     np.asarray(jnp.sum(jnp.arange(8.0)))  # first device contact
-    signal.alarm(0)
+    alive.set()
 
     from mpsnerf_tpu.data.synthetic import SyntheticHumanDataset
     from mpsnerf_tpu.models.mps_nerf import MPSNeRF

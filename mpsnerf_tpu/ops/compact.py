@@ -205,11 +205,17 @@ def plan_compaction_two_level(
     beyond it are dropped and their valid rows lost — is reported in
     ``n_lost`` (callers fold it into their n_dropped exactness checks).
 
-    The returned ``gather_idx`` has ``min(capacity, block_capacity)``
-    slots, NOT ``capacity``: every valid row lives inside the block
-    buffer, so longer prefixes can't contain valid rows — and composing
-    at full capacity would cost the N-sized gather this function exists
-    to avoid.  ``resize_plan`` to any bucket <= that length as usual.
+    ``gather_idx`` is composed at ``min(capacity, block_capacity)``
+    slots (every valid row lives inside the block buffer; composing at
+    full capacity would cost the N-sized gather this function exists to
+    avoid) and then PADDED with the drop sentinel ``n`` to the full
+    ``capacity`` length, so callers can ``resize_plan`` to any bucket
+    exactly as with :func:`plan_compaction`.  Slots beyond the true
+    valid count also hold ``n`` (not junk): under block-buffer overflow
+    ``n_valid`` exceeds the rows actually planned, and sentinel slots
+    keep :func:`expand_scatter`'s sorted/unique-indices promises honest
+    (they route to the dropped write) instead of scattering duplicate
+    junk rows before the caller's n_dropped check fires.
     """
     n = mask.shape[0]
     bplan = plan_compaction_blocks(mask, block_capacity, block)
@@ -220,10 +226,19 @@ def plan_compaction_two_level(
         maski[bplan.gather_idx],
         0,
     )
-    capacity = min(capacity, block_capacity)
-    inner = plan_compaction(mask_c, capacity)
-    # compose: buffer slot -> block-buffer row -> source row
-    gather_idx = bplan.gather_idx[inner.gather_idx]
+    eff = min(capacity, block_capacity)
+    inner = plan_compaction(mask_c, eff)
+    # compose: buffer slot -> block-buffer row -> source row; slots
+    # beyond the PLANNED count get the sentinel n (dropped by expand)
+    gather_idx = jnp.where(
+        jnp.arange(eff, dtype=jnp.int32) < inner.n_valid,
+        bplan.gather_idx[inner.gather_idx],
+        n,
+    )
+    if capacity > eff:
+        gather_idx = jnp.pad(
+            gather_idx, (0, capacity - eff), constant_values=n
+        )
     # row-level slot/take: route each source row through its block slot
     slot_c = inner.slot[jnp.clip(bplan.slot, 0, block_capacity - 1)]
     take = bplan.take & inner.take[

@@ -198,7 +198,6 @@ class TestH36MEvalEntryPoint:
 
         smpl = synthetic_smpl(n_verts=300, seed=0)
         model = MPSNeRF(num_instances=1)
-        ds = R.H36MDatasetBatch if False else None  # noqa: F841
         from mpsnerf_tpu.data.h36m import H36MDatasetBatch
 
         probe = H36MDatasetBatch(

@@ -373,10 +373,12 @@ class TestBlockPlans:
         for cap in (n, 1024):
             two = plan_compaction_two_level(jnp.asarray(m), cap, bcap, block)
             assert int(two.n_lost) == 0
-            # contract: gather_idx has min(cap, bcap) slots — every
-            # valid row fits in the block buffer
+            # full-capacity contract (composed at min(cap, bcap), padded
+            # with the drop sentinel): any bucket resize works
+            assert two.gather_idx.shape == (cap,)
+            # slots beyond the planned count hold the sentinel n
+            assert (np.asarray(two.gather_idx)[int(two.n_valid):] == n).all()
             eff = min(cap, bcap)
-            assert two.gather_idx.shape == (eff,)
             exact = resize_plan(plan_compaction(jnp.asarray(m), cap), eff)
             assert int(two.n_valid) == int(exact.n_valid)
             nv = min(int(exact.n_valid), eff)
@@ -392,14 +394,16 @@ class TestBlockPlans:
             np.testing.assert_array_equal(
                 np.asarray(two.slot)[tk], np.asarray(exact.slot)[tk]
             )
-            # both expand forms round-trip identically
+            # both expand forms round-trip identically (resized to the
+            # bucket, the realistic caller pattern)
             buf = rng.normal(size=(eff, 2)).astype(np.float32)
+            two_r = resize_plan(two, eff)
             np.testing.assert_array_equal(
-                np.asarray(expand_scatter(two, jnp.asarray(buf), -1.0)),
+                np.asarray(expand_scatter(two_r, jnp.asarray(buf), -1.0)),
                 np.asarray(expand_scatter(exact, jnp.asarray(buf), -1.0)),
             )
             np.testing.assert_array_equal(
-                np.asarray(expand_gather(two, jnp.asarray(buf), -1.0)),
+                np.asarray(expand_gather(two_r, jnp.asarray(buf), -1.0)),
                 np.asarray(expand_gather(exact, jnp.asarray(buf), -1.0)),
             )
         # block-buffer overflow is REPORTED, not silent: a tiny buffer

@@ -9,10 +9,22 @@ cd /root/repo
 PY="python -u"
 
 echo "=== liveness (bail if the tunnel is wedged) ==="
-timeout 300 $PY -c "
+# NEVER timeout-kill the probe: SIGTERM mid-claim is exactly what
+# wedged the tunnel on 2026-08-17.  Run it in the background, poll for
+# its completion marker, and on deadline just LEAVE it waiting (a
+# claim-waiter releases naturally when it eventually completes or the
+# tunnel is reset) and abort the batch.
+rm -f /tmp/r3_alive
+( $PY -c "
 import numpy as np, jax, jax.numpy as jnp
-print('alive:', np.asarray(jnp.sum(jnp.arange(8.0))))" || {
-  echo "DEVICE DEAD — aborting before anything claims it"; exit 3; }
+print('alive:', np.asarray(jnp.sum(jnp.arange(8.0))))
+open('/tmp/r3_alive', 'w').write('1')" & )
+for _ in $(seq 60); do
+  [ -f /tmp/r3_alive ] && break
+  sleep 5
+done
+[ -f /tmp/r3_alive ] || {
+  echo "DEVICE DEAD — aborting (probe left waiting, NOT killed)"; exit 3; }
 
 echo "=== bench: default (LBS fused table + transformer out_views) ==="
 $PY bench.py

@@ -44,18 +44,16 @@ def main():
 
     enable_compilation_cache()
 
-    # device-liveness watchdog: if device OPS hang after a successful
-    # claim, fail with a diagnostic line instead of hanging the driver's
-    # bench run.  A watchdog THREAD (not SIGALRM: a Python signal
-    # handler only runs between bytecodes, and the hang is inside a
-    # blocking C PJRT call that never returns to the interpreter) —
-    # os._exit works from any thread.  LIMITATION (measured on the
-    # 2026-08-17 wedge): when the tunnel claim itself is stale, the hang
-    # happens inside the sitecustomize's PJRT registration at
-    # interpreter start, before ANY code in this file runs; only the
-    # invoker's own timeout can catch that mode.  The probe op is
-    # trivial; 600 s never trips on slow compiles (the real programs
-    # compile AFTER this, unwatched).
+    # device-liveness watchdog: a wedged tunnel hangs the FIRST device
+    # op (the axon backend initializes lazily — sitecustomize only
+    # registers the plugin; pytest survives a wedge because conftest
+    # forces the CPU platform before any op).  A watchdog THREAD rather
+    # than SIGALRM: a Python signal handler only runs between
+    # bytecodes, and the hang is inside a blocking C PJRT call that
+    # never returns to the interpreter — os._exit works from any
+    # thread.  VALIDATED against the real 2026-08-17 wedge: prints the
+    # diagnostic line and exits 3 at t=600 s.  Never trips on slow
+    # compiles (the real programs compile AFTER this, unwatched).
     import os
     import threading
 

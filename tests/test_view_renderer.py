@@ -160,3 +160,12 @@ class TestViewRenderer:
         a = r0.render_view(variables, items[0], items[0], 1)
         b = r2.render_view(variables, items[0], items[0], 1)
         np.testing.assert_array_equal(a, b)
+
+    def test_two_level_plan_overflow_asserts(self, setup):
+        """An undersized block buffer must surface through the exactness
+        assert (n_lost -> n_dropped), never silently drop rows."""
+        ds, items, smpl, model, variables = setup
+        r = ViewRenderer(model, lambda g: smpl, chunk=512, n_samples=8,
+                         global_compact=True, plan_two_level_frac=0.001)
+        with np.testing.assert_raises(AssertionError):
+            r.render_view(variables, items[0], items[0], 1)

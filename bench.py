@@ -276,8 +276,10 @@ def main():
     # the measured image must be exact: no compacted point dropped
     if MODE == "compact":
         hint = (
-            "exact-count pre-pass disagreed with the render — check "
-            "count_candidates or raise MPSNERF_BENCH_TILE headroom"
+            "plan pre-pass disagreed with the render — check "
+            "plan_rays_compact (or, with MPSNERF_BENCH_PLAN2L set, the "
+            "two-level plan's block buffer lost rows: lower the frac "
+            "toward 1.0 or unset it)"
         )
     else:
         hint = f"raise MPSNERF_BENCH_COMPACT above {cf}"

@@ -83,16 +83,24 @@ class _PendingView:
     fallback path); otherwise ``out`` holds the global path's device
     outputs awaiting the fetch in :meth:`ViewRenderer.finish_view`."""
 
-    __slots__ = ("out", "n", "meta", "sel", "n_total", "done")
+    __slots__ = ("out", "n", "meta", "sel", "n_total", "done", "fill",
+                 "retry")
 
     def __init__(self, out=None, n=0, meta=(), sel=None, n_total=0,
-                 done=None):
+                 done=None, fill=0.0, retry=None):
         self.out = out
         self.n = n
         self.meta = meta
         self.sel = sel
         self.n_total = n_total
         self.done = done
+        # background value for skipped (box-culled) rays: such rays miss
+        # the body AABB, so the uncompacted render would composite them to
+        # the exact background — 1.0 under white_bkgd, else 0.0
+        self.fill = fill
+        # zero-arg re-dispatch on the exact one-level plan (set only when
+        # the two-level plan, whose block buffer can overflow, built this)
+        self.retry = retry
 
 
 class ViewRenderer:
@@ -190,6 +198,7 @@ class ViewRenderer:
         # makes overflow impossible by construction.
         self.global_compact = global_compact
         self.tile = tile
+        self._plan2l_frac = 0.0
 
         if global_compact:
             import functools
@@ -215,6 +224,7 @@ class ViewRenderer:
                 )
 
             plan2l_ = plan_two_level_frac
+            self._plan2l_frac = plan_two_level_frac
 
             @jax.jit
             def plan_fn(smpl, tp, ro, rd, nr, fr):
@@ -223,6 +233,18 @@ class ViewRenderer:
                     n_samples=n_samples_, perturb=0.0,
                     two_level_frac=plan2l_,
                 )
+
+            # exact one-level plan: the overflow fallback when the
+            # two-level plan's block buffer drops rows (jit is lazy, so
+            # this compiles only if an overflow ever happens)
+            @jax.jit
+            def plan_fn_full(smpl, tp, ro, rd, nr, fr):
+                return plan_rays_compact(
+                    smpl, tp, ro, rd, nr, fr, jax.random.PRNGKey(0),
+                    n_samples=n_samples_, perturb=0.0,
+                )
+
+            self._plan_fn_full = plan_fn_full
 
             @functools.partial(jax.jit, static_argnames=("capacity",))
             def fine_fn(smpl, tp, ro, rd, nr, fr, plan, capacity):
@@ -313,19 +335,33 @@ class ViewRenderer:
         return ro_d, rd_d, nr_d, fr_d
 
     def _dispatch_rays_global(
-        self, variables, smpl, sp, tp, latent, ro, rd, nr, fr
+        self, variables, smpl, sp, tp, latent, ro, rd, nr, fr,
+        plan_fn=None,
     ):
         """ENQUEUE a whole-view render on the global-compaction path and
-        return ``(out_device, n, (count, cap, fcap))`` without fetching
-        the image.  The two small ``int(n_valid)`` syncs (the host picks
-        the static capacity buckets) stay here; the ~3 MB rgb fetch is
-        deferred to :meth:`finish_view` so a pipelined caller can keep
-        the device busy on this view while fetching + post-processing the
-        previous one."""
+        return ``(out_device, n, (count, cap, fcap), retry)`` without
+        fetching the image.  The two small ``int(n_valid)`` syncs (the
+        host picks the static capacity buckets) stay here; the ~3 MB rgb
+        fetch is deferred to :meth:`finish_view` so a pipelined caller can
+        keep the device busy on this view while fetching + post-processing
+        the previous one."""
         n = ro.shape[0]
         ro_d, rd_d, nr_d, fr_d = self._pad_rays(ro, rd, nr, fr)
 
-        plan = self._plan_fn(smpl, tp, ro_d, rd_d, nr_d, fr_d)
+        retry = None
+        if plan_fn is None:
+            plan_fn = self._plan_fn
+            if self._plan2l_frac:
+                # the two-level plan can lose rows to block-buffer
+                # overflow; finish_view re-dispatches on the exact
+                # one-level plan instead of aborting the protocol
+                def retry():
+                    return self._dispatch_rays_global(
+                        variables, smpl, sp, tp, latent, ro, rd, nr, fr,
+                        plan_fn=self._plan_fn_full,
+                    )
+
+        plan = plan_fn(smpl, tp, ro_d, rd_d, nr_d, fr_d)
         count = int(plan.n_valid)
         cap = self._capacity_bucket(count)
         if self.fine:
@@ -346,15 +382,17 @@ class ViewRenderer:
             plan, fplan, fids, capacity=cap, fine_capacity=fcap,
             tile_=self.tile,
         )
-        return out, n, (count, cap, fcap)
+        return out, n, (count, cap, fcap), retry
 
     def _view_ray_mask(self, tp_item, k, ray_mask=None):
         """Effective ray mask for a view.  With ``box_cull`` (default),
         rays that miss the body AABB are skipped: they provably composite
         to the exact background (every sample fails the 5 cm mask -> -80
-        fill -> rgb 0) — the same pre-masking the reference applies on
-        H36M (all_test.py:384-387), applied everywhere because the output
-        is pixel-identical and ~2.7x fewer rays execute at 512^2."""
+        fill -> rgb 0, plus the white term when white_bkgd) — the same
+        pre-masking the reference applies on H36M (all_test.py:384-387),
+        applied everywhere because the reassembly fill matches the
+        background color (finish_view), so the output is pixel-identical
+        and ~2.7x fewer rays execute at 512^2."""
         if (
             ray_mask is None and self.box_cull
             and "mask_at_box_all" in tp_item
@@ -497,21 +535,27 @@ class ViewRenderer:
         fallback path is inherently host-looped and completes eagerly;
         its handle is already finished — pipelined callers degrade to the
         sequential behavior, not to an error."""
+        explicit_mask = ray_mask is not None
         ray_mask = self._view_ray_mask(tp_item, k, ray_mask)
+        # box-culled rays reassemble to the exact background color; rays
+        # skipped by an EXPLICIT caller mask keep the reference's 0 fill
+        # (H36M masked-ray mode, all_test.py:384-387)
+        fill = 1.0 if (self.white_bkgd and not explicit_mask) else 0.0
         (smpl, sp, tp, latent, ro, rd, nr, fr, sel, n_total) = (
             self._prep_view(variables, sp_item, tp_item, k, ray_mask)
         )
 
         if self.global_compact and "body_grid" in tp_item:
-            out, n, meta = self._dispatch_rays_global(
+            out, n, meta, retry = self._dispatch_rays_global(
                 variables, smpl, sp, tp, latent, ro, rd, nr, fr
             )
             return _PendingView(
-                out=out, n=n, meta=meta, sel=sel, n_total=n_total
+                out=out, n=n, meta=meta, sel=sel, n_total=n_total,
+                fill=fill, retry=retry,
             )
         rgb = self._render_view_chunked(
             variables, smpl, sp, tp, latent, ro, rd, nr, fr, sel, n_total,
-            ray_mask,
+            ray_mask, fill,
         )
         return _PendingView(done=rgb)
 
@@ -519,14 +563,28 @@ class ViewRenderer:
         """Fetch + post-process a :meth:`render_view_async` handle."""
         if pending.done is not None:
             return pending.done
-        rgb = np.asarray(pending.out[0])[: pending.n]
+        n_dropped = int(pending.out[3])
+        if n_dropped > 0 and pending.retry is not None:
+            # two-level plan block-buffer overflow: rows were lost before
+            # slot assignment — re-dispatch on the exact one-level plan
+            # (same buckets: n_valid is the full-mask count in both)
+            print(
+                f"[eval] two-level plan lost {n_dropped} pts "
+                f"(meta={pending.meta}); re-rendering on the exact plan"
+            )
+            out, n, meta, _ = pending.retry()
+            pending = _PendingView(
+                out=out, n=n, meta=meta, sel=pending.sel,
+                n_total=pending.n_total, fill=pending.fill,
+            )
+            n_dropped = int(pending.out[3])
         # the render consumes the pre-passes' OWN plans resized to
         # buckets >= their n_valid, so dropping is structurally impossible
-        assert int(pending.out[3]) == 0, (
-            (int(pending.out[3]),) + pending.meta
-        )
+        # on the one-level plan
+        assert n_dropped == 0, (n_dropped,) + pending.meta
+        rgb = np.asarray(pending.out[0])[: pending.n]
         if pending.sel is not None:
-            full = np.zeros((pending.n_total, 3), np.float32)
+            full = np.full((pending.n_total, 3), pending.fill, np.float32)
             full[pending.sel] = rgb
             return full
         return rgb
@@ -536,13 +594,15 @@ class ViewRenderer:
         """Render target view ``k`` of ``tp_item`` conditioned on
         ``sp_item``.  Returns (H*W, 3) float.  ``ray_mask`` restricts
         rendering to masked rays (H36M masked-ray mode, all_test.py:384-387);
-        unmasked pixels return 0."""
+        pixels outside an explicit mask return 0 (reference semantics);
+        pixels skipped by the internal box cull return the background."""
         return self.finish_view(
             self.render_view_async(variables, sp_item, tp_item, k, ray_mask)
         )
 
     def _render_view_chunked(self, variables, smpl, sp, tp, latent,
-                             ro, rd, nr, fr, sel, n_total, ray_mask):
+                             ro, rd, nr, fr, sel, n_total, ray_mask,
+                             fill=0.0):
         """Per-chunk fallback path (host loop over compiled fixed-size
         chunks with the overflow guard) — synchronous by construction."""
 
@@ -590,7 +650,7 @@ class ViewRenderer:
             unshuffled[perm] = rgb
             rgb = unshuffled
         if ray_mask is not None:
-            full = np.zeros((n_total, 3), np.float32)
+            full = np.full((n_total, 3), fill, np.float32)
             full[sel] = rgb
             return full
         return rgb

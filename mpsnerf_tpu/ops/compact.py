@@ -119,12 +119,17 @@ def expand_scatter(plan: Compaction, buf: jnp.ndarray, fill) -> jnp.ndarray:
     for d in buf.shape[1:]:
         channels *= d
     # unused slots (>= n_valid, or beyond a resize_plan cut) hold junk
-    # gather_idx — route them to index n and drop
-    valid = jnp.arange(k, dtype=jnp.int32) < jnp.minimum(plan.n_valid, k)
-    # idx stays sorted (valid prefix is increasing, suffix is all n) and
-    # the writes stay unique (duplicate n's are all dropped, so the
-    # unique_indices promise is vacuous for them)
+    # gather_idx — route them out of bounds to drop.  Every dropped slot
+    # (including the two-level plan's sentinel slots, which already hold
+    # n) gets the DISTINCT index n + slot: jax documents scatter behavior
+    # as undefined when the unique_indices promise is violated, so
+    # duplicate n's may not rely on mode='drop' discarding them.  idx
+    # stays sorted: the kept prefix is increasing and < n, and from the
+    # first dropped slot onward values are n + slot, strictly increasing.
+    ar = jnp.arange(k, dtype=jnp.int32)
+    valid = ar < jnp.minimum(plan.n_valid, k)
     idx = jnp.where(valid, plan.gather_idx, n)
+    idx = jnp.where(idx < n, idx, n + ar)
     flat = buf.reshape(k, channels)
     cols = []
     for c in range(channels):

@@ -16,11 +16,10 @@ from mpsnerf_tpu.models.mps_nerf import MPSNeRF
 # variants share the SKinningBatch pipeline with different deform stages;
 # see lib/skinnning_batch.py:517 (DirectDeform), :883 (CorrectionBatch),
 # :1292 (CoarseBatch), :1637 (CorrectionBatchBlend)).  The numpy-era
-# ``correction_by_f3d`` family gets its own faithful module
-# (models/correction_f3d.py); ``correction_by_uvh_agg`` (the reference's
-# fallthrough default, lib/correction.py:438-751) remains consolidated
-# onto the batch correction pipeline — its UVH-map machinery depends on
-# precomputed per-subject UV unwraps absent from the shipped pipeline.
+# ``correction_by_f3d`` family and ``correction_by_uvh_agg`` (the
+# reference's fallthrough default, lib/correction.py:438-751 — reached by
+# ANY unrecognized --model string, model_selection.py:84) get their own
+# faithful per-sample modules (models/correction_f3d.py).
 _MODEL_VARIANTS = {
     "skinning_batch": {},
     # CoarseBatch: pure LBS warp, no correction/skinning fields
@@ -48,9 +47,6 @@ _MODEL_VARIANTS = {
     },
     # CorrectionBatchBlend: blend sampled image rgb via predicted weights
     "correction_batch_blend": {"blend_rgb": True},
-    # the reference's fallthrough default (model_selection.py:84) — UVH
-    # aggregation is subsumed by the correction-field pipeline
-    "correction_by_uvh_agg": {"correction_field": True},
 }
 
 
@@ -68,6 +64,17 @@ def return_model(args: Any):
             with_viewdirs=bool(args.with_viewdirs),
             human_sample=bool(args.human_sample),
             use_transformer=bool(args.use_trans),
+        )
+    if name in ("correction_by_uvh_agg", "correction_by_uvh_agg_fagg"):
+        # the reference's fallthrough default (model_selection.py:84 —
+        # the bare ``CorrectionByUvhAgg()`` every unrecognized --model
+        # string lands on; use_agg=True has no reference spelling, so the
+        # ``_fagg`` suffix mirrors the f3d family's convention)
+        from mpsnerf_tpu.models.correction_f3d import CorrectionUvhAgg
+
+        return CorrectionUvhAgg(
+            use_agg=(name == "correction_by_uvh_agg_fagg"),
+            use_f2d=bool(args.use_f2d),
         )
     if name not in _MODEL_VARIANTS:
         raise NotImplementedError(

@@ -74,6 +74,41 @@ def _posed_joints(tf: PoseTransforms) -> jnp.ndarray:
     )
 
 
+def _project_points_uv(sp_input, world_pts):
+    """World points -> per-view pixel coordinates (ref ``projection``,
+    lib/correction.py:96-105)."""
+    R_all = sp_input["R_all"]
+    T_all = sp_input["T_all"].reshape(-1, 3, 1)
+    K_all = sp_input["K_all"]
+    img_all = sp_input["img_all"]
+    image_size = (float(img_all.shape[-1]), float(img_all.shape[-2]))
+    cam = (
+        jnp.einsum("vij,nj->vni", R_all, world_pts)
+        + T_all.transpose(0, 2, 1)
+    )
+    pix = jnp.einsum("vij,vnj->vni", K_all, cam)
+    uv = pix[..., :2] / (pix[..., 2:] + 1e-5)
+    return uv, image_size
+
+
+def _window_agg_feature(latent, uv, image_size):
+    """5x5 pixel-window mean of the pixel-aligned features, averaged over
+    views (ref ``window_feature``, lib/correction.py:113-131 — including
+    its axis-swapped shift construction: the shifted lookup uses
+    (uv_y + dx, uv_x + dy))."""
+    feats = []
+    for dx in (-2.0, -1.0, 0.0, 1.0, 2.0):
+        for dy in (-2.0, -1.0, 0.0, 1.0, 2.0):
+            new_uv = jnp.stack(
+                [uv[:, :, 1] + dx, uv[:, :, 0] + dy], axis=-1
+            )
+            feats.append(
+                index_features_patch(latent, new_uv, image_size)
+            )  # (V, C, N)
+    mean = sum(feats) / float(len(feats))  # (V, C, N)
+    return jnp.mean(mean, axis=0).T  # (N, C)
+
+
 class CorrectionF3D(nn.Module):
     """``CorrectionByf3d`` / ``correction_by_f3d_fagg`` equivalent."""
 
@@ -115,35 +150,10 @@ class CorrectionF3D(nn.Module):
     # ------------------------------------------------------------------
 
     def _project_uv(self, sp_input, world_pts):
-        R_all = sp_input["R_all"]
-        T_all = sp_input["T_all"].reshape(-1, 3, 1)
-        K_all = sp_input["K_all"]
-        img_all = sp_input["img_all"]
-        image_size = (float(img_all.shape[-1]), float(img_all.shape[-2]))
-        cam = (
-            jnp.einsum("vij,nj->vni", R_all, world_pts)
-            + T_all.transpose(0, 2, 1)
-        )
-        pix = jnp.einsum("vij,vnj->vni", K_all, cam)
-        uv = pix[..., :2] / (pix[..., 2:] + 1e-5)
-        return uv, image_size
+        return _project_points_uv(sp_input, world_pts)
 
     def _window_agg(self, latent, uv, image_size):
-        """5x5 pixel-window mean of the pixel-aligned features, averaged
-        over views (ref ``window_feature``, lib/correction.py:113-131 —
-        including its axis-swapped shift construction: the shifted lookup
-        uses (uv_y + dx, uv_x + dy))."""
-        feats = []
-        for dx in (-2.0, -1.0, 0.0, 1.0, 2.0):
-            for dy in (-2.0, -1.0, 0.0, 1.0, 2.0):
-                new_uv = jnp.stack(
-                    [uv[:, :, 1] + dx, uv[:, :, 0] + dy], axis=-1
-                )
-                feats.append(
-                    index_features_patch(latent, new_uv, image_size)
-                )  # (V, C, N)
-        mean = sum(feats) / float(len(feats))  # (V, C, N)
-        return jnp.mean(mean, axis=0).T  # (N, C)
+        return _window_agg_feature(latent, uv, image_size)
 
     def _forward_fused(self, q_pts, tj, p3d, agg):
         parts = [positional_encoding(q_pts, 6), _joint_offsets(q_pts, tj),
@@ -333,6 +343,207 @@ class CorrectionF3D(nn.Module):
             # numpy-era layout: Jacobian norms ride the normal slots
             occ_normal=zmask(grad_deform),
             nearest_smpl_normal=zmask(grad_deform_),
+            world_src_pts=world_src,
+            bweights=bweights,
+            n_dropped=jnp.zeros((), jnp.int32),
+        )
+
+    def __call__(self, smpl, sp_input, tp_input, world_pts, viewdirs,
+                 train: bool = False, compute_normals: bool = False):
+        latent = self.encode(sp_input["img_all"], train=train)
+        return self.query(
+            smpl, sp_input, tp_input, latent, world_pts, viewdirs,
+            train=train, compute_normals=compute_normals,
+        )
+
+
+class CorrectionUvhAgg(nn.Module):
+    """``CorrectionByUvhAgg`` equivalent — the reference's fallthrough
+    default model (``model_selection.py:84``, ``lib/correction.py:438-751``).
+
+    Architecture as written there (per query point):
+      1. world -> target SMPL space; 1-NN against the POSED target verts
+      2. forward correction field on [PE10(q) 63 | nearest canonical
+         vertex 3 | distance-to-nearest 1 | windowed agg 128 if
+         ``use_agg``] refines the coarse inverse LBS warp (D=8, zero-init
+         out — the reference's DeformField DEFAULTS, not f3d's D=3)
+      3. backward correction field on [PE10(canonical) 63 | distance 1 |
+         agg] refines the forward warp
+      4. NeRF (D=8, skip 4) on [PE10(canonical) 63 | canonical-grid
+         spconv feature 32 | summed per-view 2D feature 128 when
+         ``use_f2d``]; rgb head always consumes PE4(viewdirs) 27 and the
+         summed 2D feature (``torch.sum(..., dim=0)`` — SUM over views,
+         not the batch models' transformer/mean; lib/correction.py:725)
+
+    The reference class is UNCONSTRUCTIBLE as shipped; this module
+    resolves its latent errors the way the surrounding code evidently
+    intends, each documented in PARITY.md:
+      * ``nerf_input_ch``/``nerf_input_ch_2`` are commented-out globals
+        (lib/correction.py:15-16 -> NameError at :459).  Flax infers
+        input widths, and the actual concatenations give 223 / 411.
+      * ``self.use_f2d`` is read (:714) but never assigned -> a module
+        flag, defaulting True (the 2D pathway is the class's namesake).
+      * ``coarse_deform_target2c`` returns one value but is unpacked as
+        two (:592 vs :556); ``coarse_deform_c2source`` returns two but is
+        unpacked as three (:601,:695) -> both also return their 1-NN ids,
+        which the fusion features consume.
+      * ``forward_fusion``'s distance (:618) is ``‖q_smpl −
+        vertices_world[ids]‖`` — a frame mixture, but RUNNABLE as
+        written, so reproduced faithfully rather than "fixed".
+
+    No human-region mask and no Jacobian-smoothness branch exist in this
+    forward (unlike CorrectionByf3d); ``compute_normals`` therefore
+    returns zeros in the smoothness slots.
+    """
+
+    use_agg: bool = False
+    use_f2d: bool = True
+    encoder_layers: int = 2
+    nerf_width: int = 256
+    nerf_depth: int = 8
+    nerf_skips: tuple = (4,)
+
+    def setup(self):
+        self.encoder_2d = SpatialEncoder(num_layers=self.encoder_layers)
+        self.encoder_3d = SparseConvNet3D()
+        # the reference passes only input_ch/output_ch/deform_type, so
+        # DeformField keeps its D=8 / W=256 / skips=[4] defaults (:444-445)
+        self.forward_deform = DeformField(
+            depth=8, out_ch=3, deform_type="correction"
+        )
+        self.backward_deform = DeformField(
+            depth=8, out_ch=3, deform_type="correction"
+        )
+        W = self.nerf_width
+        self.pts_linears = [
+            TorchLinear(W, name=f"pts_linear_{i}")
+            for i in range(self.nerf_depth)
+        ]
+        self.alpha_linear = TorchLinear(1, name="alpha_linear")
+        self.feature_linear = TorchLinear(W, name="feature_linear")
+        self.views_linear = TorchLinear(W // 2, name="views_linear")
+        self.rgb_linear = TorchLinear(3, name="rgb_linear")
+
+    def encode(self, images: jnp.ndarray, train: bool = False):
+        return self.encoder_2d(images, train=train)
+
+    def query(
+        self,
+        smpl: SMPLModel,
+        sp_input: Dict[str, Any],
+        tp_input: Dict[str, Any],
+        latent: jnp.ndarray,
+        world_pts: jnp.ndarray,
+        viewdirs: jnp.ndarray,
+        train: bool = False,
+        compute_normals: bool = False,
+        mode: str = "full",
+        nn_ids=None,
+    ) -> RawOutput:
+        assert mode == "full" and nn_ids is None, (
+            "geometry-tool modes are flagship-only"
+        )
+        n = world_pts.shape[0]
+        tf_t = PoseTransforms.create(smpl, tp_input["params"])
+        tf_s = PoseTransforms.create(smpl, sp_input["params"])
+
+        # world -> smpl space, target pose (ref :674-680)
+        q = world_to_smpl(world_pts, tf_t.R, tf_t.Th)
+        tar_smpl = world_to_smpl(tp_input["vertices"], tf_t.R, tf_t.Th)
+        _, ids_t = nearest_vertex(jax.lax.stop_gradient(q), tar_smpl)
+        coarse_can = deform_target_to_canonical(
+            smpl, tf_t, q, ids_t, mean_shape=False
+        )
+
+        agg = None
+        if self.use_agg:
+            # aggregate 5x5-window 2D features at the COARSE source-warped
+            # points (ref :692-696)
+            _, ids_cc = nearest_vertex(
+                jax.lax.stop_gradient(coarse_can), sp_input["t_vertices"]
+            )
+            _, world_src_coarse, _ = deform_canonical_to_source(
+                smpl, tf_s, coarse_can, ids_cc, None, False
+            )
+            uv0, image_size = _project_points_uv(sp_input, world_src_coarse)
+            agg = _window_agg_feature(latent, uv0, image_size)
+
+        # forward fusion (ref ``forward_fusion``, :605-625): PE10(q) |
+        # nearest canonical vertex | distance to nearest (world-frame
+        # verts as written) | agg
+        t_vertex = tp_input["t_vertices"][ids_t]
+        dist_f = jnp.linalg.norm(
+            q - tp_input["vertices"][ids_t], axis=-1, keepdims=True
+        )
+        parts = [positional_encoding(q, 10), t_vertex, dist_f]
+        if agg is not None:
+            parts.append(agg)
+        correction = self.forward_deform(jnp.concatenate(parts, axis=-1))
+        canonical = coarse_can + correction
+
+        # backward fusion (ref ``backward_fusion``, :627-657):
+        # PE10(canonical) | distance to nearest canonical vertex | agg
+        _, ids_c = nearest_vertex(
+            jax.lax.stop_gradient(canonical), sp_input["t_vertices"]
+        )
+        coarse_smpl_src, _, bweights = deform_canonical_to_source(
+            smpl, tf_s, canonical, ids_c, None, False
+        )
+        dist_b = jnp.linalg.norm(
+            canonical - tp_input["t_vertices"][ids_c], axis=-1,
+            keepdims=True,
+        )
+        parts = [positional_encoding(canonical, 10), dist_b]
+        if agg is not None:
+            parts.append(agg)
+        correction_ = self.backward_deform(jnp.concatenate(parts, axis=-1))
+        smpl_src = coarse_smpl_src + correction_
+        world_src = smpl_to_world(smpl_src, tf_s.R, tf_s.Th)
+
+        # canonical-grid spconv feature at the REFINED canonical points
+        # (ref :700-712 — the single encoder_3d consult of this class)
+        t_bounds = sp_input["t_bounds"]
+        t_center = 0.5 * (t_bounds[0] + t_bounds[1])
+        t_half = 0.5 * (t_bounds[1] - t_bounds[0])
+        p3d = self.encoder_3d(
+            sp_input["t_feature"], sp_input["t_spconv_plan"],
+            (canonical - t_center) / t_half, train=train,
+        )
+
+        # per-view 2D features at the refined source points, SUMMED over
+        # views (ref :719-722)
+        uv, image_size = _project_points_uv(sp_input, world_src)
+        f2d = jnp.sum(
+            index_features_patch(latent, uv, image_size), axis=0
+        ).T  # (N, C)
+
+        parts = [positional_encoding(canonical, 10), p3d]
+        if self.use_f2d:
+            parts.append(f2d)
+        x = jnp.concatenate(parts, axis=-1)  # (N, 223 | 95)
+        h = x
+        for i, layer in enumerate(self.pts_linears):
+            h = nn.relu(layer(h))
+            if i in self.nerf_skips:
+                h = jnp.concatenate([x, h], axis=-1)
+        alpha = self.alpha_linear(h)[..., 0]
+        feature = self.feature_linear(h)
+        vd = positional_encoding(viewdirs, 4)
+        h2 = jnp.concatenate([feature, vd, f2d], axis=-1)  # (N, 411)
+        rgb = self.rgb_linear(nn.relu(self.views_linear(h2)))
+
+        # ref raw = [rgb, alpha, query_pts, smpl_src_pts, correction,
+        # correction_] (:748) — no mask, no smoothness quantities
+        return RawOutput(
+            rgb=rgb,
+            sigma=alpha,
+            pts_mask=jnp.ones((n,), jnp.int32),
+            correction=correction,
+            correction_=correction_,
+            smpl_query_pts=q,
+            smpl_src_pts=smpl_src,
+            occ_normal=jnp.zeros((n, 3), world_pts.dtype),
+            nearest_smpl_normal=jnp.zeros((n, 3), world_pts.dtype),
             world_src_pts=world_src,
             bweights=bweights,
             n_dropped=jnp.zeros((), jnp.int32),

@@ -180,6 +180,35 @@ def main():
                 perturb=0.0, two_level_frac=plan2l,
             )
 
+        # MPSNERF_BENCH_HOSTDDA=1: candidate mask on HOST (threaded C++
+        # ray_sample_mask) + 1 bit/sample upload, replacing the on-device
+        # expansion + warp + grid_lookup inside the plan pre-pass.  Bench
+        # times it SEQUENTIALLY (host cost in the loop); the eval runner
+        # overlaps it across views.
+        HOST_DDA = os.environ.get("MPSNERF_BENCH_HOSTDDA", "0") == "1"
+        if HOST_DDA:
+            from mpsnerf_tpu.ops.body_grid import host_sample_mask
+
+            ro_h, rd_h = ray_o[sel], ray_d[sel]
+            nr_h, fr_h = near_all[sel], far_all[sel]
+
+            @jax.jit
+            def plan_bits_fn(bits):
+                return plan_rays_compact(
+                    None, None, None, None, None, None, None,
+                    n_samples=N_SAMPLES, perturb=0.0,
+                    two_level_frac=plan2l, cand_bits=bits,
+                )
+
+            def plan_fn_host(a, b, c, d):
+                bits = host_sample_mask(
+                    item["body_grid"], ro_h, rd_h, nr_h, fr_h, N_SAMPLES,
+                    item["params"]["R"], item["params"]["Th"],
+                )
+                return plan_bits_fn(jnp.asarray(bits))
+
+            plan_fn = plan_fn_host
+
         # exact capacities from one setup pre-pass: the plans cover the
         # EXACT deterministic sample set the render uses (same key,
         # perturb=0), so no headroom is needed — the warm-up's

@@ -131,9 +131,17 @@ class ViewRenderer:
         # with a frac*M block buffer — cheaper gather_idx scatter; loss
         # on block-buffer overflow surfaces through n_dropped
         plan_two_level_frac: float = 0.0,
+        # compute the plan pre-pass's candidate mask on HOST (threaded
+        # C++, native/mesh_native.cpp:ray_sample_mask) and upload 1
+        # bit/sample, skipping the on-device sample expansion + warp +
+        # grid_lookup (~87 ms/view); conservative superset, pixel-exact
+        # downstream.  Pays when pipelined: the host mask of view k+1
+        # overlaps the device render of view k.
+        host_dda: bool = False,
     ):
         self.fine = fine
         self.box_cull = box_cull
+        self.host_dda = host_dda
         if (
             eval_compact_fraction is not None
             and model.compact_fraction is not None
@@ -246,6 +254,19 @@ class ViewRenderer:
 
             self._plan_fn_full = plan_fn_full
 
+            # host-DDA variant: the candidate mask arrives as packed bits
+            # (ops/body_grid.py:host_sample_mask); the device side is
+            # unpack + compaction only
+            @jax.jit
+            def plan_fn_dda(bits):
+                return plan_rays_compact(
+                    None, None, None, None, None, None, None,
+                    n_samples=n_samples_, perturb=0.0,
+                    two_level_frac=plan2l_, cand_bits=bits,
+                )
+
+            self._plan_fn_dda = plan_fn_dda
+
             @functools.partial(jax.jit, static_argnames=("capacity",))
             def fine_fn(smpl, tp, ro, rd, nr, fr, plan, capacity):
                 return fine_rays_compact(
@@ -302,7 +323,7 @@ class ViewRenderer:
         return cached
 
     @classmethod
-    def _pad_rays(cls, ro, rd, nr, fr):
+    def _pad_rays_host(cls, ro, rd, nr, fr):
         """Pad the ray count to the next power-of-2 multiple of 4096:
         every distinct padded size is a fresh XLA compile of
         plan/fine/render, and with the per-view box cull ray counts vary
@@ -310,7 +331,8 @@ class ViewRenderer:
         ray shape (hit counts drift far less than 2x).  Padding rays sit
         far outside the body grid: zero candidates (so they never cost
         tail slots), composite to background, sliced off by the caller.
-        Returns device arrays."""
+        Returns HOST arrays (the host-DDA pre-pass reads these; see
+        :meth:`_pad_rays` for the device copies)."""
         n = ro.shape[0]
         c = 1
         while c * 4096 < n:
@@ -323,20 +345,25 @@ class ViewRenderer:
             p = np.full((n_pad - n,) + x.shape[1:], fill, x.dtype)
             return np.concatenate([x, p])
 
-        ro_d = jnp.asarray(pad(ro, 1e6))
-        rd_d = jnp.asarray(
+        ro_h = pad(ro, 1e6)
+        rd_h = (
             pad(rd, 0.0) if n_pad == n else np.concatenate(
                 [rd, np.tile(np.array([1.0, 0, 0], rd.dtype),
                              (n_pad - n, 1))]
             )
         )
-        nr_d = jnp.asarray(pad(nr, 0.0))
-        fr_d = jnp.asarray(pad(fr, 1.0))
-        return ro_d, rd_d, nr_d, fr_d
+        return ro_h, rd_h, pad(nr, 0.0), pad(fr, 1.0)
+
+    @classmethod
+    def _pad_rays(cls, ro, rd, nr, fr):
+        """Device copies of :meth:`_pad_rays_host`."""
+        return tuple(
+            jnp.asarray(x) for x in cls._pad_rays_host(ro, rd, nr, fr)
+        )
 
     def _dispatch_rays_global(
         self, variables, smpl, sp, tp, latent, ro, rd, nr, fr,
-        plan_fn=None,
+        plan_fn=None, tp_item=None,
     ):
         """ENQUEUE a whole-view render on the global-compaction path and
         return ``(out_device, n, (count, cap, fcap), retry)`` without
@@ -346,9 +373,15 @@ class ViewRenderer:
         keep the device busy on this view while fetching + post-processing
         the previous one."""
         n = ro.shape[0]
-        ro_d, rd_d, nr_d, fr_d = self._pad_rays(ro, rd, nr, fr)
+        ro_h, rd_h, nr_h, fr_h = self._pad_rays_host(ro, rd, nr, fr)
+        ro_d, rd_d, nr_d, fr_d = (jnp.asarray(x) for x in
+                                  (ro_h, rd_h, nr_h, fr_h))
 
         retry = None
+        use_dda = (
+            plan_fn is None and self.host_dda and tp_item is not None
+            and "body_grid" in tp_item and self.n_samples % 8 == 0
+        )
         if plan_fn is None:
             plan_fn = self._plan_fn
             if self._plan2l_frac:
@@ -361,7 +394,17 @@ class ViewRenderer:
                         plan_fn=self._plan_fn_full,
                     )
 
-        plan = plan_fn(smpl, tp, ro_d, rd_d, nr_d, fr_d)
+        if use_dda:
+            from mpsnerf_tpu.ops.body_grid import host_sample_mask
+
+            params = tp_item["params"]
+            bits = host_sample_mask(
+                tp_item["body_grid"], ro_h, rd_h, nr_h, fr_h,
+                self.n_samples, params["R"], params["Th"],
+            )
+            plan = self._plan_fn_dda(jnp.asarray(bits))
+        else:
+            plan = plan_fn(smpl, tp, ro_d, rd_d, nr_d, fr_d)
         count = int(plan.n_valid)
         cap = self._capacity_bucket(count)
         if self.fine:
@@ -547,7 +590,8 @@ class ViewRenderer:
 
         if self.global_compact and "body_grid" in tp_item:
             out, n, meta, retry = self._dispatch_rays_global(
-                variables, smpl, sp, tp, latent, ro, rd, nr, fr
+                variables, smpl, sp, tp, latent, ro, rd, nr, fr,
+                tp_item=tp_item,
             )
             return _PendingView(
                 out=out, n=n, meta=meta, sel=sel, n_total=n_total,

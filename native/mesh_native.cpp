@@ -32,10 +32,124 @@
 #include <cstdint>
 #include <cstring>
 #include <cmath>
+#include <thread>
 #include <unordered_map>
 #include <vector>
 
 extern "C" {
+
+// ---------------------------------------------------------------------------
+// host-side ray-sample candidate mask (the eval plan pre-pass)
+// ---------------------------------------------------------------------------
+//
+// Computes the body-grid candidate bit for every (ray, sample) of a view
+// on the HOST, so the device plan pre-pass can skip its ~87 ms
+// grid_lookup (12.2M one-per-sample gathers at the 9 ns/idx v5e floor,
+// ROADMAP "host DDA" lever) and consume a 1-bit/sample upload instead.
+// Only valid for deterministic samples (perturb=0 — the eval protocol);
+// replicates ops/composite.py:stratified_z_vals + smpl/lbs.py:
+// world_to_smpl + ops/body_grid.py:grid_lookup in double precision.
+//
+// Conservative by construction: a sample is marked if ANY voxel
+// overlapping the eps-ball around its position is occupied, so fp32
+// rounding drift between XLA and this code can only ADD candidates
+// (extra candidates are culled exactly by the in-render 5 cm mask /
+// fine pre-pass; a MISSED true candidate would corrupt the pixel).
+// eps=1e-4 m is ~1000x the fp32 error of the 10-flop chain at ~1 m
+// coordinate scale and 0.5% of the 2 cm voxel.
+//
+// out: packed LSB-first bits, bit index = ray * n_samples + sample;
+// rays are byte-aligned per thread split only when n_samples % 8 == 0
+// (asserted by the python wrapper).
+
+namespace {
+
+inline void ray_mask_rows(
+    const float* rays_o, const float* rays_d,
+    const float* near_, const float* far_,
+    int n_samples, const float* Rm, const float* Th,
+    const uint8_t* grid, int gd, int gh, int gw,
+    const float* origin, double voxel, double eps,
+    int r0, int r1, uint8_t* out) {
+    const double inv_s = n_samples > 1 ? 1.0 / (n_samples - 1) : 0.0;
+    for (int r = r0; r < r1; ++r) {
+        const double ox = rays_o[3 * r], oy = rays_o[3 * r + 1],
+                     oz = rays_o[3 * r + 2];
+        const double dx = rays_d[3 * r], dy = rays_d[3 * r + 1],
+                     dz = rays_d[3 * r + 2];
+        const double nr = near_[r], fr = far_[r];
+        for (int s = 0; s < n_samples; ++s) {
+            const double t = s * inv_s;
+            const double z = nr * (1.0 - t) + fr * t;
+            const double wx = ox + dx * z - Th[0];
+            const double wy = oy + dy * z - Th[1];
+            const double wz = oz + dz * z - Th[2];
+            // q = (x - Th) @ R  (row vector x row-major matrix)
+            const double q0 = wx * Rm[0] + wy * Rm[3] + wz * Rm[6];
+            const double q1 = wx * Rm[1] + wy * Rm[4] + wz * Rm[7];
+            const double q2 = wx * Rm[2] + wy * Rm[5] + wz * Rm[8];
+            int hit = 0;
+            const double g0 = (q0 - origin[0]) / voxel;
+            const double g1 = (q1 - origin[1]) / voxel;
+            const double g2 = (q2 - origin[2]) / voxel;
+            const double ev = eps / voxel;
+            const int x_lo = (int)std::floor(g0 - ev),
+                      x_hi = (int)std::floor(g0 + ev);
+            const int y_lo = (int)std::floor(g1 - ev),
+                      y_hi = (int)std::floor(g1 + ev);
+            const int z_lo = (int)std::floor(g2 - ev),
+                      z_hi = (int)std::floor(g2 + ev);
+            for (int zi = z_lo; zi <= z_hi && !hit; ++zi) {
+                if (zi < 0 || zi >= gd) continue;
+                for (int yi = y_lo; yi <= y_hi && !hit; ++yi) {
+                    if (yi < 0 || yi >= gh) continue;
+                    for (int xi = x_lo; xi <= x_hi; ++xi) {
+                        if (xi < 0 || xi >= gw) continue;
+                        if (grid[(size_t)(zi * gh + yi) * gw + xi]) {
+                            hit = 1;
+                            break;
+                        }
+                    }
+                }
+            }
+            if (hit) {
+                const size_t bit = (size_t)r * n_samples + s;
+                out[bit >> 3] |= (uint8_t)(1u << (bit & 7));
+            }
+        }
+    }
+}
+
+}  // namespace
+
+void ray_sample_mask(
+    const float* rays_o, const float* rays_d,   // (R, 3) world
+    const float* near_, const float* far_,      // (R,)
+    int n_rays, int n_samples,
+    const float* Rm, const float* Th,           // (3,3) row-major, (3,)
+    const uint8_t* grid, int gd, int gh, int gw,  // (d, h, w) z,y,x order
+    const float* origin, float voxel,           // grid frame
+    float eps, int n_threads,
+    uint8_t* out) {                             // (R*S+7)/8, zeroed here
+    std::memset(out, 0, ((size_t)n_rays * n_samples + 7) / 8);
+    if (n_threads <= 0) {
+        n_threads = (int)std::thread::hardware_concurrency();
+        if (n_threads <= 0) n_threads = 1;
+    }
+    if (n_threads > n_rays) n_threads = n_rays > 0 ? n_rays : 1;
+    std::vector<std::thread> pool;
+    const int chunk = (n_rays + n_threads - 1) / n_threads;
+    for (int i = 0; i < n_threads; ++i) {
+        const int r0 = i * chunk;
+        const int r1 = r0 + chunk < n_rays ? r0 + chunk : n_rays;
+        if (r0 >= r1) break;
+        pool.emplace_back(
+            ray_mask_rows, rays_o, rays_d, near_, far_, n_samples, Rm, Th,
+            grid, gd, gh, gw, origin, (double)voxel, (double)eps, r0, r1,
+            out);
+    }
+    for (auto& th : pool) th.join();
+}
 
 // ---------------------------------------------------------------------------
 // iso-surface extraction

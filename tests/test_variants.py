@@ -39,9 +39,9 @@ class TestFactory:
                 },
             ),
             ("correction_batch_blend", {"blend_rgb": True}),
-            # correction_by_f3d now builds its own module — covered by
-            # tests/test_correction_f3d.py::test_factory_names
-            ("correction_by_uvh_agg", {"correction_field": True}),
+            # correction_by_f3d and correction_by_uvh_agg build their own
+            # faithful modules — covered by tests/test_correction_f3d.py
+            # factory-name tests
             (
                 "direct_deform",
                 {

@@ -75,6 +75,9 @@ $PY bench.py
 echo "=== bench: two-level plan A/B ==="
 MPSNERF_BENCH_PLAN2L=0.5 MPSNERF_BENCH_TRAIN=0 $PY bench.py
 
+echo "=== bench: host-DDA candidate mask A/B ==="
+MPSNERF_BENCH_HOSTDDA=1 MPSNERF_BENCH_TRAIN=0 $PY bench.py
+
 echo "=== bench: fp32 / cull-off rows for BASELINE.md ==="
 MPSNERF_BENCH_DTYPE=float32 MPSNERF_BENCH_TRAIN=0 $PY bench.py
 MPSNERF_BENCH_CULL=0 MPSNERF_BENCH_TRAIN=0 $PY bench.py

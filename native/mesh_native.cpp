@@ -72,42 +72,88 @@ inline void ray_mask_rows(
     const float* origin, double voxel, double eps,
     int r0, int r1, uint8_t* out) {
     const double inv_s = n_samples > 1 ? 1.0 / (n_samples - 1) : 0.0;
+    // grid extent in smpl coordinates, eps-dilated (slab test below)
+    const int gdim[3] = {gw, gh, gd};  // xyz order
     for (int r = r0; r < r1; ++r) {
         const double ox = rays_o[3 * r], oy = rays_o[3 * r + 1],
                      oz = rays_o[3 * r + 2];
         const double dx = rays_d[3 * r], dy = rays_d[3 * r + 1],
                      dz = rays_d[3 * r + 2];
         const double nr = near_[r], fr = far_[r];
-        for (int s = 0; s < n_samples; ++s) {
+        // q(z) = ((o + z*d) - Th) @ R  =  o' + z * d'   (R row-major,
+        // row-vector convention; double reassociation error ~1e-12 m is
+        // far beneath the 1e-4 m conservativeness eps)
+        const double wx = ox - Th[0], wy = oy - Th[1], wz = oz - Th[2];
+        double oq[3], dq[3];
+        for (int j = 0; j < 3; ++j) {
+            oq[j] = wx * Rm[j] + wy * Rm[3 + j] + wz * Rm[6 + j];
+            dq[j] = dx * Rm[j] + dy * Rm[3 + j] + dz * Rm[6 + j];
+        }
+        // slab test: z-interval where q(z) stays inside the eps-dilated
+        // grid box [origin - eps, origin + dim*voxel + eps] — samples
+        // outside cannot hit an occupied voxel and are skipped wholesale
+        // (most of a view's samples at the eval workload)
+        double z_lo = -1e300, z_hi = 1e300;
+        bool empty = false;
+        for (int j = 0; j < 3 && !empty; ++j) {
+            const double b0 = origin[j] - eps;
+            const double b1 = origin[j] + gdim[j] * voxel + eps;
+            if (std::fabs(dq[j]) < 1e-300) {
+                if (oq[j] < b0 || oq[j] > b1) empty = true;
+            } else {
+                double t0 = (b0 - oq[j]) / dq[j];
+                double t1 = (b1 - oq[j]) / dq[j];
+                if (t0 > t1) std::swap(t0, t1);
+                if (t0 > z_lo) z_lo = t0;
+                if (t1 < z_hi) z_hi = t1;
+                if (z_lo > z_hi) empty = true;
+            }
+        }
+        if (empty) continue;
+        // sample indices whose z = nr + (fr-nr)*s/(S-1) lies in
+        // [z_lo, z_hi] (z monotone when fr > nr; else test every s)
+        int s_begin = 0, s_end = n_samples;
+        const double span = fr - nr;
+        if (span > 0.0 && n_samples > 1) {
+            const double u_lo = (z_lo - nr) / span, u_hi = (z_hi - nr) / span;
+            if (u_hi < 0.0 || u_lo > 1.0) continue;
+            s_begin = (int)std::ceil(u_lo * (n_samples - 1) - 1e-12);
+            s_end = (int)std::floor(u_hi * (n_samples - 1) + 1e-12) + 1;
+            if (s_begin < 0) s_begin = 0;
+            if (s_end > n_samples) s_end = n_samples;
+        }
+        const double inv_voxel = 1.0 / voxel;
+        const double ev = eps * inv_voxel;
+        for (int s = s_begin; s < s_end; ++s) {
             const double t = s * inv_s;
             const double z = nr * (1.0 - t) + fr * t;
-            const double wx = ox + dx * z - Th[0];
-            const double wy = oy + dy * z - Th[1];
-            const double wz = oz + dz * z - Th[2];
-            // q = (x - Th) @ R  (row vector x row-major matrix)
-            const double q0 = wx * Rm[0] + wy * Rm[3] + wz * Rm[6];
-            const double q1 = wx * Rm[1] + wy * Rm[4] + wz * Rm[7];
-            const double q2 = wx * Rm[2] + wy * Rm[5] + wz * Rm[8];
-            int hit = 0;
-            const double g0 = (q0 - origin[0]) / voxel;
-            const double g1 = (q1 - origin[1]) / voxel;
-            const double g2 = (q2 - origin[2]) / voxel;
-            const double ev = eps / voxel;
+            const double g0 = (oq[0] + z * dq[0] - origin[0]) * inv_voxel;
+            const double g1 = (oq[1] + z * dq[1] - origin[1]) * inv_voxel;
+            const double g2 = (oq[2] + z * dq[2] - origin[2]) * inv_voxel;
             const int x_lo = (int)std::floor(g0 - ev),
                       x_hi = (int)std::floor(g0 + ev);
             const int y_lo = (int)std::floor(g1 - ev),
                       y_hi = (int)std::floor(g1 + ev);
-            const int z_lo = (int)std::floor(g2 - ev),
-                      z_hi = (int)std::floor(g2 + ev);
-            for (int zi = z_lo; zi <= z_hi && !hit; ++zi) {
-                if (zi < 0 || zi >= gd) continue;
-                for (int yi = y_lo; yi <= y_hi && !hit; ++yi) {
-                    if (yi < 0 || yi >= gh) continue;
-                    for (int xi = x_lo; xi <= x_hi; ++xi) {
-                        if (xi < 0 || xi >= gw) continue;
-                        if (grid[(size_t)(zi * gh + yi) * gw + xi]) {
-                            hit = 1;
-                            break;
+            const int v_lo = (int)std::floor(g2 - ev),
+                      v_hi = (int)std::floor(g2 + ev);
+            int hit = 0;
+            if (x_lo == x_hi && y_lo == y_hi && v_lo == v_hi) {
+                // fast path (~all samples: the eps window crosses a voxel
+                // boundary only within 2*eps/voxel = 1% of positions)
+                hit = (x_lo >= 0 && x_lo < gw && y_lo >= 0 && y_lo < gh
+                       && v_lo >= 0 && v_lo < gd)
+                      && grid[(size_t)(v_lo * gh + y_lo) * gw + x_lo];
+            } else {
+                for (int zi = v_lo; zi <= v_hi && !hit; ++zi) {
+                    if (zi < 0 || zi >= gd) continue;
+                    for (int yi = y_lo; yi <= y_hi && !hit; ++yi) {
+                        if (yi < 0 || yi >= gh) continue;
+                        for (int xi = x_lo; xi <= x_hi; ++xi) {
+                            if (xi < 0 || xi >= gw) continue;
+                            if (grid[(size_t)(zi * gh + yi) * gw + xi]) {
+                                hit = 1;
+                                break;
+                            }
                         }
                     }
                 }

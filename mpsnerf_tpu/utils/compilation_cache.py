@@ -23,6 +23,17 @@ turned an expected-fast driver dryrun into an 18-minute timeout.  So:
 * a failed entry load (jax's ``Error reading persistent compilation
   cache entry`` warning) is forced visible on stderr every time instead
   of being deduplicated away, so cold-compile regressions leave a trace.
+
+Known residual (measured, not fixable by keying): XLA:CPU sometimes
+bakes compiler-CHOSEN tuning features (``+prefer-no-gather`` /
+``+prefer-no-scatter``) into gather/scatter-heavy executables — our
+train-step and plan compiles — and its loader then rejects the entry
+because those pseudo-features never appear in the host feature list,
+even on the SAME machine that wrote it minutes earlier.  Small programs
+round-trip fine (verified: 10 s compile -> 3.6 s warm).  Consequence:
+the big CPU-mesh dryrun compiles must fit the budget COLD (they do,
+since round 4 — __graft_entry__ docstring) and the cache's value is on
+the TPU backend, where entries load normally.
 """
 
 from __future__ import annotations

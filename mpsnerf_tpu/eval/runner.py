@@ -453,9 +453,10 @@ class ViewRenderer:
         if self.model.correction_field:
             from mpsnerf_tpu.data import attach_spconv_plan
 
+            canonical = bool(getattr(self.model, "canonical_grid", False))
             for it in (tp_item, sp_item):
                 if "spconv_plan" not in it and "coord" in it:
-                    attach_spconv_plan(it)
+                    attach_spconv_plan(it, canonical=canonical)
         # upload ONLY what the device render reads.  The per-view ray/rgb
         # stacks are huge ((24, H*W, 3) each at full res, ~70 MB/item) and
         # consumed exclusively on host (sliced per view below) — shipping

@@ -122,6 +122,18 @@ class CorrectionF3D(nn.Module):
     nerf_depth: int = 8
     nerf_skips: tuple = (4,)
 
+    # duck-type surface shared with MPSNeRF (plain class attrs, not flax
+    # fields): the CLI/trainer attach spconv gather tables when
+    # `correction_field` is set (run_nerf_batch.py), `canonical_grid`
+    # additionally requests the canonical t_* grid this family's NeRF
+    # conditions on (lib/correction.py:339-341), and `compact_fraction`
+    # None opts out of the masked-compaction render modes (this family
+    # has no in-render compaction; the renderer's clone() path is gated
+    # on it being non-None)
+    correction_field = True
+    canonical_grid = True
+    compact_fraction = None
+
     def setup(self):
         self.encoder_2d = SpatialEncoder(num_layers=self.encoder_layers)
         self.encoder_3d = SparseConvNet3D()
@@ -402,6 +414,11 @@ class CorrectionUvhAgg(nn.Module):
     nerf_width: int = 256
     nerf_depth: int = 8
     nerf_skips: tuple = (4,)
+
+    # duck-type surface shared with MPSNeRF — see CorrectionF3D
+    correction_field = True
+    canonical_grid = True
+    compact_fraction = None
 
     def setup(self):
         self.encoder_2d = SpatialEncoder(num_layers=self.encoder_layers)

@@ -65,13 +65,14 @@ def main(argv=None):
     # correction_batch force it on regardless of the flag)
     first = dataset[0]
     sp0 = first["sp_input"] if pair_mode else first
+    canonical = bool(getattr(model, "canonical_grid", False))
     if model.correction_field:
         from mpsnerf_tpu.data import attach_spconv_plan
 
-        attach_spconv_plan(sp0)
+        attach_spconv_plan(sp0, canonical=canonical)
         tp0 = first["tp_input"] if pair_mode else sp0
         if tp0 is not sp0:
-            attach_spconv_plan(tp0)
+            attach_spconv_plan(tp0, canonical=canonical)
     inp0 = to_device_input(sp0)
     smpl0 = smpl_models[int(sp0["gender"])]
     key, sub = jax.random.split(key)
@@ -227,11 +228,11 @@ def main(argv=None):
         if model.correction_field:
             from mpsnerf_tpu.data import attach_spconv_plan
 
-            attach_spconv_plan(tp_item)
+            attach_spconv_plan(tp_item, canonical=canonical)
             if sp_item is not tp_item:
                 # the instance-style (CorrectionBatch) backward correction
                 # samples the SOURCE pose's voxel grid
-                attach_spconv_plan(sp_item)
+                attach_spconv_plan(sp_item, canonical=canonical)
         smpl = smpl_models[int(sp_item["gender"])]
         sp = to_device_input(sp_item)
         tp = sp if not pair_mode else to_device_input(tp_item)

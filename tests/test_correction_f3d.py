@@ -307,3 +307,40 @@ class TestCorrectionUvhAgg:
                 float(jnp.abs(x).sum()) for x in jax.tree.leaves(g[mod])
             )
             assert gnorm > 0, f"no gradient into {mod}"
+
+
+class TestCorrectionCLITrain:
+    """The reference trains WHATEVER model_selection returns through the
+    same run_nerf_batch loop; pin that the numpy-era correction family
+    trains end-to-end through OUR CLI too (the duck-typed
+    correction_field/canonical_grid/compact_fraction surface attaches the
+    posed AND canonical spconv grids and opts out of masked compaction)."""
+
+    @pytest.mark.parametrize("name", ["correction_by_f3d",
+                                      "correction_by_uvh_agg"])
+    def test_cli_trains(self, name, tmp_path):
+        import run_nerf_batch
+
+        run_nerf_batch.main([
+            "--config", "configs/synthetic_smoke.txt",
+            "--basedir", str(tmp_path),
+            "--expname", f"smoke_{name}",
+            "--model", name,
+            "--smooth_loss", "0",
+            "--image_scaling", "0.0625",
+            "--N_rand", "24",
+            "--N_samples", "8",
+            "--N_iteration", "2",
+            "--i_print", "2",
+            "--i_weights", "1000",
+            "--i_testset", "1000000",
+            "--num_worker", "0",
+        ])
+        scalars = (
+            tmp_path / "summaries" / f"smoke_{name}" / "scalars.jsonl"
+        )
+        lines = [
+            __import__("json").loads(l)
+            for l in scalars.read_text().splitlines()
+        ]
+        assert lines and np.isfinite(lines[-1]["loss"])

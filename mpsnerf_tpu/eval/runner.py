@@ -139,6 +139,20 @@ class ViewRenderer:
         # overlaps the device render of view k.
         host_dda: bool = False,
     ):
+        # the global-compaction path's semantics REQUIRE the flagship's
+        # human-region mask: it evaluates only body-grid candidates and
+        # fills the rest with the 5 cm mask's exact -80 (MASK_FILL), and
+        # its fine stage precomputes MPSNeRF's nearest-vertex ids.  A
+        # model without that mask (human_sample off, or the numpy-era
+        # correction family) evaluates the network at EVERY sample in
+        # the reference, so it must take the chunked uncompacted path.
+        if global_compact and not (
+            isinstance(model, MPSNeRF)
+            and getattr(model, "human_sample", False)
+        ):
+            global_compact = False
+            box_cull = False  # the AABB cull's exactness proof also
+            #                   rests on the -80 mask semantics
         self.fine = fine
         self.box_cull = box_cull
         self.host_dda = host_dda

@@ -344,3 +344,41 @@ class TestCorrectionCLITrain:
             for l in scalars.read_text().splitlines()
         ]
         assert lines and np.isfinite(lines[-1]["loss"])
+
+
+class TestCorrectionEval:
+    def test_view_renderer_uses_uncompacted_path(self, scene):
+        """ViewRenderer must auto-route mask-less models (the correction
+        family evaluates the network at EVERY sample in the reference)
+        off the global-compaction/box-cull path, whose -80 fill semantics
+        require the flagship's 5 cm human mask — and the render must
+        match a direct render_rays of the same view exactly."""
+        from mpsnerf_tpu.eval.runner import ViewRenderer
+        from mpsnerf_tpu.renderer.render import render_rays
+
+        ds, smpl, item, inp, pts, vd = scene
+        from mpsnerf_tpu.models.correction_f3d import CorrectionF3D
+
+        model = CorrectionF3D(human_sample=True)
+        variables = _init(model, scene)
+        r = ViewRenderer(model, lambda g: smpl, chunk=256, n_samples=8,
+                         shuffle_rays=False)
+        assert not r.global_compact and not r.box_cull
+        out = r.render_view(variables, item, item, 1)
+
+        latent = model.apply(
+            variables, inp["img_all"], train=False, method="encode"
+        )
+        k = 1
+        n = 256  # one chunk's worth, sliced from the full image
+        ro = jnp.asarray(item["ray_o_all"][k][:n], jnp.float32)
+        rd = jnp.asarray(item["ray_d_all"][k][:n], jnp.float32)
+        nr = jnp.asarray(item["near_all"][k][:n, 0], jnp.float32)
+        fr = jnp.asarray(item["far_all"][k][:n, 0], jnp.float32)
+        ref = render_rays(
+            model, variables, smpl, inp, inp, latent, ro, rd, nr, fr,
+            jax.random.PRNGKey(0), n_samples=8, perturb=0.0, train=False,
+        )
+        np.testing.assert_allclose(
+            out[:n], np.asarray(ref.rgb_map), atol=1e-5
+        )

@@ -72,7 +72,37 @@ def main():
             os._exit(3)
 
     threading.Thread(target=_watch, daemon=True).start()
-    np.asarray(jnp.sum(jnp.arange(8.0)))  # first device contact
+    try:
+        np.asarray(jnp.sum(jnp.arange(8.0)))  # first device contact
+    except Exception as e:  # fail-FAST mode (observed 2026-08-18): the
+        # backend raises UNAVAILABLE at the first op instead of hanging.
+        # The tunnel demonstrably FLAPS (alive 13:52, dead 14:07 the same
+        # day), so retry for a bounded window before reporting failure —
+        # round 3's official bench regressed to 0.0 on exactly such an
+        # outage.  Retries re-exec the interpreter: a failed plugin init
+        # can leave poisoned backend state in-process, and a fresh
+        # process is the only clean probe.  The hang mode above does NOT
+        # retry: a wedge never clears quickly and each attempt burns the
+        # full 600 s watchdog.
+        deadline = os.environ.get("MPSNERF_BENCH_RETRY_DEADLINE")
+        if deadline is None:
+            retry_s = float(os.environ.get("MPSNERF_BENCH_RETRY_S", "600"))
+            deadline = str(time.time() + retry_s)
+        if time.time() < float(deadline):
+            print(f"device unavailable ({e!r:.200}); retrying in 60 s "
+                  f"(until t={float(deadline):.0f})", file=sys.stderr)
+            sys.stderr.flush()
+            time.sleep(60)
+            env = dict(os.environ, MPSNERF_BENCH_RETRY_DEADLINE=deadline)
+            os.execve(sys.executable, [sys.executable] + sys.argv, env)
+        print(json.dumps({
+            "metric": "render_rays_per_sec_512x512x128",
+            "value": 0.0, "unit": "rays/s/chip", "vs_baseline": 0.0,
+            "error": f"device unavailable at first contact "
+                     f"(retried until deadline): {e!r:.300}",
+        }))
+        sys.stdout.flush()
+        os._exit(3)
     alive.set()
 
     from mpsnerf_tpu.data.synthetic import SyntheticHumanDataset

@@ -45,8 +45,8 @@ def _run(stub: str, tmp_path, retry_hours="1", extra_env=None):
         MPSNERF_MEASURE_RETRY_SLEEP="0.2",
         MPSNERF_MEASURE_WEDGE_POLL_N="10",
         MPSNERF_MEASURE_LIVENESS_ONLY="1",
-        **(extra_env or {}),
     )
+    env.update(extra_env or {})
     return subprocess.run(
         ["bash", SCRIPT], env=env, capture_output=True, text=True,
         timeout=120,
@@ -119,3 +119,51 @@ def test_immediate_success_runs_batch_gate(tmp_path):
     r = _run(stub, tmp_path)
     assert r.returncode == 0, r.stdout + r.stderr
     assert "device LIVE" in r.stdout
+
+
+def test_stage_failure_retries_after_reverified_liveness(tmp_path):
+    """A stage that fails once (device flap mid-batch, the 2026-08-18
+    failure mode) is retried after liveness is re-verified instead of
+    burning the rest of the batch.  The stub distinguishes probe calls
+    (``-u -c <code>``) from stage calls (``-u <script>``)."""
+    stub = _write_stub(
+        tmp_path,
+        'if [ "$2" = "-c" ]; then\n'
+        '  echo "alive: 28.0"\n'
+        "  touch /tmp/r4m_alive\n"
+        "  exit 0\n"
+        "fi\n"
+        f"S={tmp_path}/stage_attempts\n"
+        "M=$(cat $S 2>/dev/null || echo 0)\n"
+        "M=$((M+1)); echo $M > $S\n"
+        'if [ "$M" -eq 1 ]; then exit 3; fi\n'  # first stage call flaps
+        "exit 0\n",
+    )
+    r = _run(stub, tmp_path, extra_env={"MPSNERF_MEASURE_LIVENESS_ONLY": ""})
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "FAILED (rc=3)" in r.stdout
+    assert "=== done ===" in r.stdout
+    # 9 batch stages + 1 retry of the flapped one
+    assert int((tmp_path / "stage_attempts").read_text()) == 10
+
+
+def test_stage_failures_are_reported(tmp_path):
+    """A stage that fails every attempt is recorded and the batch exits
+    nonzero, but the remaining stages still run."""
+    stub = _write_stub(
+        tmp_path,
+        'if [ "$2" = "-c" ]; then\n'
+        '  echo "alive: 28.0"\n'
+        "  touch /tmp/r4m_alive\n"
+        "  exit 0\n"
+        "fi\n"
+        f"S={tmp_path}/stage_attempts\n"
+        "M=$(cat $S 2>/dev/null || echo 0)\n"
+        "M=$((M+1)); echo $M > $S\n"
+        'if [ "$M" -le 2 ]; then exit 3; fi\n'  # stage 1 fails both tries
+        "exit 0\n",
+    )
+    r = _run(stub, tmp_path, extra_env={"MPSNERF_MEASURE_LIVENESS_ONLY": ""})
+    assert r.returncode == 1, r.stdout + r.stderr
+    assert "done WITH FAILURES" in r.stdout
+    assert int((tmp_path / "stage_attempts").read_text()) == 10

@@ -13,6 +13,10 @@
 #  * two failure modes are distinguished: a fast "UNAVAILABLE" error
 #    (terminal down — cheap to re-probe) and a silent hang (wedge —
 #    probe stays pending, do not stack more than one).
+#  * the tunnel FLAPS (observed 2026-08-18: alive 13:52 and 14:29,
+#    hanging/unavailable in between) — so liveness is re-verified
+#    BEFORE EVERY STAGE and a failed stage is retried after the next
+#    alive window instead of burning the rest of the batch.
 set -u
 cd "${MPSNERF_MEASURE_CWD:-/root/repo}"
 PY="${MPSNERF_MEASURE_PY:-python} -u"
@@ -23,6 +27,7 @@ POLL_S="${MPSNERF_MEASURE_POLL_S:-5}"        # marker poll interval
 POLL_N="${MPSNERF_MEASURE_POLL_N:-60}"       # polls per probe (~5 min)
 RETRY_SLEEP="${MPSNERF_MEASURE_RETRY_SLEEP:-600}"   # after fast error
 WEDGE_POLL_N="${MPSNERF_MEASURE_WEDGE_POLL_N:-240}" # extra wait on hang
+STAGE_TRIES="${MPSNERF_MEASURE_STAGE_TRIES:-2}"     # attempts per stage
 DEADLINE=$(( $(date +%s) + RETRY_HOURS * 3600 ))
 
 probe_alive() {  # launches one detached probe; returns via marker files
@@ -39,59 +44,90 @@ except Exception as e:
 " >> /tmp/r4m_probe.log 2>&1 & )
 }
 
-echo "=== liveness (retry up to ${RETRY_HOURS}h; probes never killed) ==="
-ALIVE=0
-while [ "$(date +%s)" -lt "$DEADLINE" ]; do
-  probe_alive
-  for _ in $(seq "$POLL_N"); do
-    [ -f /tmp/r4m_alive ] || [ -f /tmp/r4m_err ] && break
-    sleep "$POLL_S"
-  done
-  if [ -f /tmp/r4m_alive ]; then ALIVE=1; break; fi
-  if [ -f /tmp/r4m_err ]; then
-    echo "$(date -u +%H:%M:%S) device UNAVAILABLE ($(head -c 120 /tmp/r4m_err)); retrying in ${RETRY_SLEEP}s"
-    sleep "$RETRY_SLEEP"
-  else
-    # silent hang: likely a wedge — leave the probe pending (it doubles
-    # as the claim-waiter) and wait a longer beat before checking again
-    echo "$(date -u +%H:%M:%S) probe HANGING (possible wedge) — extended wait, probe left alive"
-    for _ in $(seq "$WEDGE_POLL_N"); do
-      [ -f /tmp/r4m_alive ] && break
+wait_alive() {  # blocks until a FRESH probe succeeds or the deadline; rc 0/3
+  while [ "$(date +%s)" -lt "$DEADLINE" ]; do
+    probe_alive
+    for _ in $(seq "$POLL_N"); do
+      [ -f /tmp/r4m_alive ] || [ -f /tmp/r4m_err ] && break
       sleep "$POLL_S"
     done
-    [ -f /tmp/r4m_alive ] && { ALIVE=1; break; }
-  fi
-done
-[ "$ALIVE" = 1 ] || {
+    if [ -f /tmp/r4m_alive ]; then return 0; fi
+    if [ -f /tmp/r4m_err ]; then
+      echo "$(date -u +%H:%M:%S) device UNAVAILABLE ($(head -c 120 /tmp/r4m_err)); retrying in ${RETRY_SLEEP}s"
+      sleep "$RETRY_SLEEP"
+    else
+      # silent hang: likely a wedge — leave the probe pending (it doubles
+      # as the claim-waiter) and wait a longer beat before checking again
+      echo "$(date -u +%H:%M:%S) probe HANGING (possible wedge) — extended wait, probe left alive"
+      for _ in $(seq "$WEDGE_POLL_N"); do
+        [ -f /tmp/r4m_alive ] && break
+        sleep "$POLL_S"
+      done
+      [ -f /tmp/r4m_alive ] && return 0
+    fi
+  done
+  return 3
+}
+
+FAILED_STAGES=""
+run_stage() {  # run_stage <name> <cmd...>: liveness-gate + bounded retry
+  local name="$1"; shift
+  local try=1
+  while [ "$try" -le "$STAGE_TRIES" ]; do
+    echo "=== $name (attempt $try) ==="
+    if ! wait_alive; then
+      echo "DEADLINE before '$name' — skipping remaining attempts"
+      FAILED_STAGES="$FAILED_STAGES $name(deadline)"
+      return 3
+    fi
+    echo "$(date -u +%H:%M:%S) device LIVE — running: $*"
+    "$@"
+    local rc=$?
+    [ "$rc" -eq 0 ] && return 0
+    echo "$(date -u +%H:%M:%S) stage '$name' FAILED (rc=$rc) — device flap? re-verifying liveness"
+    try=$(( try + 1 ))
+  done
+  FAILED_STAGES="$FAILED_STAGES $name"
+  return 1
+}
+
+echo "=== liveness (retry up to ${RETRY_HOURS}h; probes never killed) ==="
+if ! wait_alive; then
   echo "DEVICE DEAD after ${RETRY_HOURS}h of retries — aborting (probes left waiting, NOT killed)"
   exit 3
-}
+fi
 echo "device LIVE — starting batch"
 [ -n "${MPSNERF_MEASURE_LIVENESS_ONLY:-}" ] && exit 0
 
-echo "=== bench: default (LBS fused table + transformer out_views) ==="
-$PY bench.py
+run_stage "bench: default (LBS fused table + transformer out_views)" \
+  $PY bench.py
 
-echo "=== bench: two-level plan A/B ==="
-MPSNERF_BENCH_PLAN2L=0.5 MPSNERF_BENCH_TRAIN=0 $PY bench.py
+run_stage "bench: two-level plan A/B" \
+  env MPSNERF_BENCH_PLAN2L=0.5 MPSNERF_BENCH_TRAIN=0 $PY bench.py
 
-echo "=== bench: host-DDA candidate mask A/B ==="
-MPSNERF_BENCH_HOSTDDA=1 MPSNERF_BENCH_TRAIN=0 $PY bench.py
+run_stage "bench: host-DDA candidate mask A/B" \
+  env MPSNERF_BENCH_HOSTDDA=1 MPSNERF_BENCH_TRAIN=0 $PY bench.py
 
-echo "=== bench: fp32 / cull-off rows for BASELINE.md ==="
-MPSNERF_BENCH_DTYPE=float32 MPSNERF_BENCH_TRAIN=0 $PY bench.py
-MPSNERF_BENCH_CULL=0 MPSNERF_BENCH_TRAIN=0 $PY bench.py
+run_stage "bench: fp32 row for BASELINE.md" \
+  env MPSNERF_BENCH_DTYPE=float32 MPSNERF_BENCH_TRAIN=0 $PY bench.py
 
-echo "=== tail stage attribution ==="
-PYTHONPATH=/root/repo:/root/.axon_site $PY tools/tail_stage_probe.py
+run_stage "bench: cull-off row for BASELINE.md" \
+  env MPSNERF_BENCH_CULL=0 MPSNERF_BENCH_TRAIN=0 $PY bench.py
 
-echo "=== block-gather rates (two-level plan go/no-go detail) ==="
-PYTHONPATH=/root/repo:/root/.axon_site $PY tools/block_gather_probe.py
+run_stage "tail stage attribution" \
+  env PYTHONPATH=/root/repo:/root/.axon_site $PY tools/tail_stage_probe.py
 
-echo "=== plan formulations ==="
-PYTHONPATH=/root/repo:/root/.axon_site $PY tools/plan_probe.py
+run_stage "block-gather rates (two-level plan go/no-go detail)" \
+  env PYTHONPATH=/root/repo:/root/.axon_site $PY tools/block_gather_probe.py
 
-echo "=== eval latency artifact (sequential + pipelined) ==="
-PYTHONPATH=/root/repo:/root/.axon_site $PY tools/eval_latency_probe.py
+run_stage "plan formulations" \
+  env PYTHONPATH=/root/repo:/root/.axon_site $PY tools/plan_probe.py
 
+run_stage "eval latency artifact (sequential + pipelined + hostdda)" \
+  env PYTHONPATH=/root/repo:/root/.axon_site $PY tools/eval_latency_probe.py
+
+if [ -n "$FAILED_STAGES" ]; then
+  echo "=== done WITH FAILURES:$FAILED_STAGES ==="
+  exit 1
+fi
 echo "=== done ==="

@@ -1,0 +1,438 @@
+"""AOT serving bundles — hermetic render artifacts via ``jax.export``.
+
+The reference "serves" a trained actor by running its research eval
+script end-to-end (``lib/all_test.py:54-307``): every deployment needs
+the full model code, config parsing, and a torch install.  Here the
+deployable unit is a *bundle directory* produced once from a trained
+model:
+
+    manifest.json        chunk size, key schema, SMPL static tree, meta
+    render_chunk.bin     jax.export StableHLO: fixed-size ray chunk
+    render_chunk_nc.bin  (only if the model compacts) uncompacted twin,
+                         used to re-render a chunk on capacity overflow
+    encode.bin           jax.export StableHLO: source-image encoder
+    weights.npz          trained variables (flattened param dict)
+    smpl.npz             SMPL rig arrays per gender
+
+Loading needs **no model code and no config** — only jax + numpy + this
+module.  The compute graphs ship as versioned StableHLO, exportable for
+several platforms at once (``platforms=("tpu", "cpu")`` gives one bundle
+that serves on a TPU pod and replays on a CPU dev box bit-identically
+to the eval path's chunked renderer, ``eval/runner.py:662-715``).
+
+TPU-first notes: the exported graph is the same fixed-shape chunk the
+eval path compiles (static shapes -> one XLA program, MXU-friendly),
+and a served process uploads weights once at load — per-request traffic
+is only the item dict + rays.  NamedTuple inputs (spconv plans, body
+grids) are flattened to plain dicts *in the exported signature* so the
+serving side never needs the defining classes; the classes are rebuilt
+inside the wrapper at export-trace time only.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import threading
+from typing import Any, Callable, Dict, List, Optional, Tuple
+
+import numpy as np
+
+__all__ = [
+    "export_serving_bundle",
+    "load_serving_bundle",
+    "ServedRenderer",
+]
+
+_MANIFEST = "manifest.json"
+_WEIGHTS = "weights.npz"
+_SMPL = "smpl.npz"
+_RENDER = "render_chunk.bin"
+_RENDER_NC = "render_chunk_nc.bin"
+_ENCODE = "encode.bin"
+
+# item keys that are host-only (consumed by the protocol loop, never by
+# the device render) — mirrors eval/runner.py:_prep_view's skip set
+_HOST_ONLY = frozenset(
+    (
+        "msk_all", "_latent_cache", "_device_cache", "ray_o_all",
+        "ray_d_all", "rgb_all", "near_all", "far_all", "mask_at_box_all",
+        "bkgd_msk_all", "msk_cihp_all", "o_img_all",
+    )
+)
+
+
+def _split_namedtuples(item: Dict) -> Tuple[Dict, Dict[str, type]]:
+    """dict with NamedTuple values -> (pure dict-of-dicts, key -> type).
+
+    The exported calling convention must contain only dicts/arrays (a
+    consumer of the bundle has no SparseConvPlan/BodyGrid classes to
+    flatten a custom pytree with); the type map lets the export-time
+    wrapper rebuild the real tuples before tracing the model.
+    """
+    plain, types = {}, {}
+    for k, v in item.items():
+        if isinstance(v, tuple) and hasattr(v, "_fields"):
+            plain[k] = dict(zip(v._fields, v))
+            types[k] = type(v)
+        else:
+            plain[k] = v
+    return plain, types
+
+
+def _device_keys(item: Dict) -> List[str]:
+    return sorted(
+        k for k in item if k not in _HOST_ONLY and not k.startswith("_")
+    )
+
+
+def export_serving_bundle(
+    out_dir: str,
+    model,
+    variables,
+    smpl_by_gender: Dict[int, Any],   # gender int -> SMPLModel
+    sp_item: Dict,
+    tp_item: Dict,
+    *,
+    chunk: int = 4096,
+    n_samples: int = 128,
+    white_bkgd: bool = False,
+    platforms: Optional[Tuple[str, ...]] = None,
+) -> str:
+    """Export ``model`` + ``variables`` as a self-contained bundle.
+
+    ``sp_item``/``tp_item`` are sample dataset items (any view); they fix
+    the input schema (key set, shapes, dtypes) — serving validates every
+    request against it.  ``platforms=None`` exports for the current
+    backend; pass ``("tpu", "cpu")`` for a cross-platform bundle.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from mpsnerf_tpu.data import attach_body_grid, attach_spconv_plan
+    from mpsnerf_tpu.renderer.render import render_rays
+    from mpsnerf_tpu.smpl.model import SMPLModel
+    from mpsnerf_tpu.train.trainer import to_device_input
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    # -- attachments the device render needs (manifest records which,
+    #    so the serving side re-attaches without model code)
+    attached_tp: List[str] = []
+    if getattr(model, "human_sample", False) and "body_grid" not in tp_item:
+        attach_body_grid(tp_item)
+    if "body_grid" in tp_item:
+        attached_tp.append("body_grid")
+    attach_sp: List[str] = []
+    if getattr(model, "correction_field", False):
+        canonical = bool(getattr(model, "canonical_grid", False))
+        for it, acc in ((tp_item, attached_tp), (sp_item, attach_sp)):
+            if "spconv_plan" not in it and "coord" in it:
+                attach_spconv_plan(it, canonical=canonical)
+            if "spconv_plan" in it:
+                acc.append("spconv_plan")
+
+    sp_dev = to_device_input({k: sp_item[k] for k in _device_keys(sp_item)})
+    tp_dev = to_device_input({k: tp_item[k] for k in _device_keys(tp_item)})
+    sp_plain, sp_types = _split_namedtuples(sp_dev)
+    tp_plain, tp_types = _split_namedtuples(tp_dev)
+
+    genders = sorted(smpl_by_gender)
+    smpl0 = smpl_by_gender[genders[0]]
+    smpl_fields = [f for f in smpl0.__dataclass_fields__ if f != "parents"]
+    parents = tuple(int(p) for p in smpl0.parents)
+    for g in genders:
+        if tuple(int(p) for p in smpl_by_gender[g].parents) != parents:
+            raise ValueError("all genders must share one kinematic tree")
+
+    def make_render_chunk(m):
+        def render_chunk(variables, smpl_arrays, sp, tp, latent, ro, rd,
+                         nr, fr):
+            # runs at export-trace time only: rebuild real pytree types
+            smpl = SMPLModel(parents=parents, **smpl_arrays)
+            sp_ = {k: (sp_types[k](**v) if k in sp_types else v)
+                   for k, v in sp.items()}
+            tp_ = {k: (tp_types[k](**v) if k in tp_types else v)
+                   for k, v in tp.items()}
+            out = render_rays(
+                m, variables, smpl, sp_, tp_, latent, ro, rd,
+                nr, fr, jax.random.PRNGKey(0), n_samples=n_samples,
+                perturb=0.0, train=False, white_bkgd=white_bkgd,
+            )
+            return out.rgb_map, out.acc_map, out.raw.n_dropped
+
+        return render_chunk
+
+    def encode(variables, images):
+        return model.apply(variables, images, train=False, method="encode")
+
+    # canonicalize container types: the exported in_tree must match the
+    # load side exactly, and load rebuilds PLAIN dicts (unflatten_dict)
+    from flax.core import unfreeze
+
+    variables = unfreeze(variables)
+
+    smpl_arrays = {f: jnp.asarray(getattr(smpl0, f)) for f in smpl_fields}
+    latent = jax.jit(encode)(variables, jnp.asarray(sp_item["img_all"]))
+    ro = jnp.zeros((chunk, 3), jnp.float32)
+    rd = jnp.ones((chunk, 3), jnp.float32)
+    nr = jnp.full((chunk,), 0.1, jnp.float32)
+    fr = jnp.full((chunk,), 1.0, jnp.float32)
+
+    kw = {} if platforms is None else {"platforms": list(platforms)}
+    exp = jax.export.export(jax.jit(make_render_chunk(model)), **kw)(
+        variables, smpl_arrays, sp_plain, tp_plain, latent, ro, rd, nr, fr
+    )
+    with open(os.path.join(out_dir, _RENDER), "wb") as f:
+        f.write(exp.serialize())
+
+    has_nc = getattr(model, "compact_fraction", None) is not None
+    if has_nc:
+        nc = make_render_chunk(model.clone(compact_fraction=None))
+        exp_nc = jax.export.export(jax.jit(nc), **kw)(
+            variables, smpl_arrays, sp_plain, tp_plain, latent,
+            ro, rd, nr, fr,
+        )
+        with open(os.path.join(out_dir, _RENDER_NC), "wb") as f:
+            f.write(exp_nc.serialize())
+
+    exp_enc = jax.export.export(jax.jit(encode), **kw)(
+        variables, jnp.asarray(sp_item["img_all"])
+    )
+    with open(os.path.join(out_dir, _ENCODE), "wb") as f:
+        f.write(exp_enc.serialize())
+
+    # -- weights: flatten the nested variables dict
+    from flax.traverse_util import flatten_dict
+
+    flat = flatten_dict(variables, sep="/")
+    np.savez(
+        os.path.join(out_dir, _WEIGHTS),
+        **{k: np.asarray(v) for k, v in flat.items()},
+    )
+    np.savez(
+        os.path.join(out_dir, _SMPL),
+        **{
+            f"{g}/{f}": np.asarray(getattr(smpl_by_gender[g], f))
+            for g in genders
+            for f in smpl_fields
+        },
+    )
+
+    def schema(plain: Dict) -> Dict:
+        out = {}
+        for k, v in plain.items():
+            if isinstance(v, dict):
+                out[k] = {
+                    kk: [str(vv.dtype), list(vv.shape)]
+                    for kk, vv in v.items()
+                }
+            else:
+                out[k] = [str(v.dtype), list(v.shape)]
+        return out
+
+    manifest = {
+        "format_version": 1,
+        "chunk": chunk,
+        "n_samples": n_samples,
+        "white_bkgd": white_bkgd,
+        "has_nc": has_nc,
+        "platforms": list(platforms) if platforms else None,
+        "genders": genders,
+        "smpl_fields": smpl_fields,
+        "smpl_parents": list(parents),
+        "sp_schema": schema(sp_plain),
+        "tp_schema": schema(tp_plain),
+        "sp_namedtuple_keys": sorted(sp_types),
+        "tp_namedtuple_keys": sorted(tp_types),
+        "attached_tp": sorted(set(attached_tp)),
+        "attached_sp": sorted(set(attach_sp)),
+        "spconv_canonical": bool(getattr(model, "canonical_grid", False)),
+        "latent_shape": list(np.shape(latent)),
+        "image_shape": list(np.shape(sp_item["img_all"])),
+        "jax_version": jax.__version__,
+        "model_class": type(model).__name__,
+    }
+    with open(os.path.join(out_dir, _MANIFEST), "w") as f:
+        json.dump(manifest, f, indent=1)
+    return out_dir
+
+
+class ServedRenderer:
+    """A loaded bundle: validates requests, encodes sources, renders views.
+
+    Mirrors the eval path's chunked renderer semantics
+    (``eval/runner.py:662-715``): zero-padded fixed-size chunks, the
+    compaction-overflow re-render on the uncompacted twin, background
+    fill for explicit ray masks.  Thread-safe: device work is
+    single-flighted (one chip renders one request at a time; queueing is
+    the HTTP layer's job).
+    """
+
+    def __init__(self, bundle_dir: str):
+        import jax
+
+        self.dir = bundle_dir
+        with open(os.path.join(bundle_dir, _MANIFEST)) as f:
+            self.manifest = json.load(f)
+        m = self.manifest
+        self.chunk = int(m["chunk"])
+        self.white_bkgd = bool(m["white_bkgd"])
+
+        def _load(name):
+            with open(os.path.join(bundle_dir, name), "rb") as f:
+                return jax.export.deserialize(bytearray(f.read()))
+
+        self._render = _load(_RENDER)
+        self._render_nc = _load(_RENDER_NC) if m["has_nc"] else None
+        self._encode = _load(_ENCODE)
+
+        from flax.traverse_util import unflatten_dict
+
+        with np.load(os.path.join(bundle_dir, _WEIGHTS)) as z:
+            flat = {k: jax.device_put(z[k]) for k in z.files}
+        self.variables = unflatten_dict(flat, sep="/")
+
+        with np.load(os.path.join(bundle_dir, _SMPL)) as z:
+            self._smpl = {
+                int(g): {
+                    f: jax.device_put(z[f"{g}/{f}"])
+                    for f in m["smpl_fields"]
+                }
+                for g in m["genders"]
+            }
+        self._lock = threading.Lock()
+        self.n_overflow_chunks = 0
+
+    # -- request-side schema handling -----------------------------------
+
+    def _validate(self, plain: Dict, schema: Dict, side: str) -> None:
+        missing = sorted(set(schema) - set(plain))
+        if missing:
+            raise ValueError(
+                f"{side} item is missing keys {missing} required by the "
+                f"bundle schema (have {sorted(plain)})"
+            )
+        for k, spec in schema.items():
+            have = plain[k]
+            if isinstance(spec, dict) != isinstance(have, dict):
+                raise ValueError(f"{side}[{k!r}]: wrong structure")
+            pairs = (
+                [(f"{k}.{kk}", have[kk], spec[kk]) for kk in spec]
+                if isinstance(spec, dict) else [(k, have, spec)]
+            )
+            for name, v, (dt, shape) in pairs:
+                if list(np.shape(v)) != shape:
+                    raise ValueError(
+                        f"{side}[{name!r}]: shape {list(np.shape(v))} != "
+                        f"bundle schema {shape}"
+                    )
+
+    def _prep(self, item: Dict, side: str) -> Dict:
+        """Raw item dict -> validated plain device dict per the manifest
+        (attaching body_grid / spconv plans exactly as export did)."""
+        from mpsnerf_tpu.train.trainer import to_device_input
+
+        m = self.manifest
+        attached = m["attached_tp" if side == "tp" else "attached_sp"]
+        if "body_grid" in attached and "body_grid" not in item:
+            from mpsnerf_tpu.data import attach_body_grid
+
+            attach_body_grid(item)
+        if "spconv_plan" in attached and "spconv_plan" not in item:
+            from mpsnerf_tpu.data import attach_spconv_plan
+
+            attach_spconv_plan(item, canonical=m["spconv_canonical"])
+        schema = m[f"{side}_schema"]
+        dev = to_device_input(
+            {k: item[k] for k in _device_keys(item) if k in schema}
+        )
+        plain, _ = _split_namedtuples(dev)
+        self._validate(plain, schema, side)
+        return plain
+
+    def _latent_for(self, sp_item: Dict, sp_plain: Dict):
+        cached = sp_item.get("_latent_cache")
+        if cached is None:
+            cached = self._encode.call(self.variables, sp_plain["img_all"])
+            sp_item["_latent_cache"] = cached
+        return cached
+
+    # -- rendering -------------------------------------------------------
+
+    def render_rays(self, sp_item: Dict, tp_item: Dict, ro, rd, nr, fr
+                    ) -> np.ndarray:
+        """Render arbitrary rays (N, 3)/(N,) -> (N, 3) float32."""
+        import jax.numpy as jnp
+
+        sp = self._prep(sp_item, "sp")
+        tp = self._prep(tp_item, "tp")
+        gender = int(np.asarray(sp_item["gender"]))
+        if gender not in self._smpl:
+            raise ValueError(
+                f"item gender {gender} not in bundle "
+                f"(has {sorted(self._smpl)})"
+            )
+        smpl = self._smpl[gender]
+        ro = np.asarray(ro, np.float32).reshape(-1, 3)
+        rd = np.asarray(rd, np.float32).reshape(-1, 3)
+        nr = np.asarray(nr, np.float32).reshape(-1)
+        fr = np.asarray(fr, np.float32).reshape(-1)
+
+        n = ro.shape[0]
+        n_pad = ((n + self.chunk - 1) // self.chunk) * self.chunk
+
+        def pad(x):
+            return np.concatenate(
+                [x, np.zeros((n_pad - n,) + x.shape[1:], x.dtype)]
+            )
+
+        ro, rd, nr, fr = pad(ro), pad(rd), pad(nr), pad(fr)
+        outs = []
+        with self._lock:
+            latent = self._latent_for(sp_item, sp)
+            for i in range(0, n_pad, self.chunk):
+                block = (
+                    jnp.asarray(ro[i:i + self.chunk]),
+                    jnp.asarray(rd[i:i + self.chunk]),
+                    jnp.asarray(nr[i:i + self.chunk]),
+                    jnp.asarray(fr[i:i + self.chunk]),
+                )
+                rgb, _, nd = self._render.call(
+                    self.variables, smpl, sp, tp, latent, *block
+                )
+                if int(nd) > 0 and self._render_nc is not None:
+                    self.n_overflow_chunks += 1
+                    rgb, _, _ = self._render_nc.call(
+                        self.variables, smpl, sp, tp, latent, *block
+                    )
+                outs.append(np.asarray(rgb))
+        return np.concatenate(outs, axis=0)[:n]
+
+    def render_view(self, sp_item: Dict, tp_item: Dict, k: int,
+                    ray_mask: Optional[np.ndarray] = None) -> np.ndarray:
+        """Render target view ``k`` of ``tp_item``; returns (H*W, 3).
+
+        Same contract as ``ViewRenderer.render_view`` on the chunked
+        path: an explicit ``ray_mask`` restricts rendering to masked
+        rays and fills the rest with 0 (reference H36M masked-ray
+        semantics, ``lib/all_test.py:384-387``)."""
+        ro = np.asarray(tp_item["ray_o_all"][k], np.float32)
+        rd = np.asarray(tp_item["ray_d_all"][k], np.float32)
+        nr = np.asarray(tp_item["near_all"][k], np.float32).reshape(-1)
+        fr = np.asarray(tp_item["far_all"][k], np.float32).reshape(-1)
+        n_total = ro.shape[0]
+        sel = None
+        if ray_mask is not None:
+            sel = np.flatnonzero(np.asarray(ray_mask).reshape(-1))
+            ro, rd, nr, fr = ro[sel], rd[sel], nr[sel], fr[sel]
+        rgb = self.render_rays(sp_item, tp_item, ro, rd, nr, fr)
+        if sel is not None:
+            full = np.zeros((n_total, 3), np.float32)
+            full[sel] = rgb
+            return full
+        return rgb
+
+
+def load_serving_bundle(bundle_dir: str) -> ServedRenderer:
+    return ServedRenderer(bundle_dir)

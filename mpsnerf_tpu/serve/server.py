@@ -1,0 +1,184 @@
+"""Minimal production HTTP front-end for a serving bundle (stdlib only).
+
+Wire protocol (binary, numpy-native — no JSON round-trip for tensors):
+
+    GET  /healthz          -> {"status": "ok", "backend": ..., ...}
+    GET  /manifest         -> the bundle's manifest.json
+    POST /render?view=K    -> body: one ``.npz`` whose keys are
+                              ``sp.<key>`` / ``tp.<key>`` item arrays
+                              (nested dicts dotted: ``tp.params.poses``);
+                              response: ``.npy`` bytes of the rendered
+                              (H*W, 3) float32 view K.
+                              Optional key ``ray_mask`` restricts
+                              rendering to masked rays (H36M masked-ray
+                              semantics).
+
+Device work is single-flighted inside :class:`ServedRenderer`; the
+threaded server keeps request parsing and response IO off the render
+path.  Run stand-alone::
+
+    python -m mpsnerf_tpu.serve.server --bundle /path/to/bundle --port 8080
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Dict, Optional, Tuple
+from urllib.parse import parse_qs, urlparse
+
+import numpy as np
+
+from mpsnerf_tpu.serve.bundle import ServedRenderer, load_serving_bundle
+
+__all__ = ["items_to_npz_bytes", "npz_bytes_to_items", "BundleServer"]
+
+
+def items_to_npz_bytes(sp_item: Dict, tp_item: Dict,
+                       ray_mask: Optional[np.ndarray] = None) -> bytes:
+    """Client-side encoder: two item dicts -> one ``.npz`` request body."""
+    flat = {}
+    for side, item in (("sp", sp_item), ("tp", tp_item)):
+        for k, v in item.items():
+            if k.startswith("_"):
+                continue  # caches never cross the wire
+            if isinstance(v, dict):
+                for kk, vv in v.items():
+                    flat[f"{side}.{k}.{kk}"] = np.asarray(vv)
+            elif isinstance(v, tuple) and hasattr(v, "_fields"):
+                continue  # attachments (plans/grids) are rebuilt server-side
+            else:
+                flat[f"{side}.{k}"] = np.asarray(v)
+    if ray_mask is not None:
+        flat["ray_mask"] = np.asarray(ray_mask)
+    buf = io.BytesIO()
+    np.savez(buf, **flat)
+    return buf.getvalue()
+
+
+def npz_bytes_to_items(body: bytes
+                       ) -> Tuple[Dict, Dict, Optional[np.ndarray]]:
+    """Server-side decoder: request body -> (sp_item, tp_item, ray_mask)."""
+    items: Dict[str, Dict] = {"sp": {}, "tp": {}}
+    ray_mask = None
+    with np.load(io.BytesIO(body)) as z:
+        for key in z.files:
+            if key == "ray_mask":
+                ray_mask = z[key]
+                continue
+            parts = key.split(".", 2)
+            if len(parts) < 2 or parts[0] not in items:
+                raise ValueError(f"bad request key {key!r}")
+            side, name = parts[0], parts[1]
+            if len(parts) == 3:
+                items[side].setdefault(name, {})[parts[2]] = z[key]
+            else:
+                items[side][name] = z[key]
+    return items["sp"], items["tp"], ray_mask
+
+
+class BundleServer:
+    """Threaded HTTP server wrapping one loaded bundle."""
+
+    def __init__(self, bundle: "ServedRenderer | str", host: str = "127.0.0.1",
+                 port: int = 0):
+        self.renderer = (
+            bundle if isinstance(bundle, ServedRenderer)
+            else load_serving_bundle(bundle)
+        )
+        outer = self
+
+        class Handler(BaseHTTPRequestHandler):
+            # quiet by default; errors still surface as HTTP statuses
+            def log_message(self, fmt, *args):  # noqa: N802
+                pass
+
+            def _send(self, code: int, body: bytes, ctype: str):
+                self.send_response(code)
+                self.send_header("Content-Type", ctype)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def _json(self, code: int, obj):
+                self._send(code, json.dumps(obj).encode(),
+                           "application/json")
+
+            def do_GET(self):  # noqa: N802
+                path = urlparse(self.path).path
+                if path == "/healthz":
+                    import jax
+
+                    self._json(200, {
+                        "status": "ok",
+                        "backend": jax.default_backend(),
+                        "model_class": outer.renderer.manifest[
+                            "model_class"],
+                        "chunk": outer.renderer.chunk,
+                        "overflow_chunks": outer.renderer.n_overflow_chunks,
+                    })
+                elif path == "/manifest":
+                    self._json(200, outer.renderer.manifest)
+                else:
+                    self._json(404, {"error": f"no route {path!r}"})
+
+            def do_POST(self):  # noqa: N802
+                url = urlparse(self.path)
+                if url.path != "/render":
+                    self._json(404, {"error": f"no route {url.path!r}"})
+                    return
+                try:
+                    view = int(parse_qs(url.query).get("view", ["0"])[0])
+                    length = int(self.headers.get("Content-Length", "0"))
+                    sp, tp, mask = npz_bytes_to_items(
+                        self.rfile.read(length)
+                    )
+                    rgb = outer.renderer.render_view(sp, tp, view, mask)
+                except (ValueError, KeyError, IndexError) as e:
+                    self._json(400, {"error": f"{type(e).__name__}: {e}"})
+                    return
+                buf = io.BytesIO()
+                np.save(buf, rgb)
+                self._send(200, buf.getvalue(), "application/octet-stream")
+
+        self._httpd = ThreadingHTTPServer((host, port), Handler)
+        self._thread: Optional[threading.Thread] = None
+
+    @property
+    def address(self) -> Tuple[str, int]:
+        return self._httpd.server_address[:2]
+
+    def start(self) -> "BundleServer":
+        self._thread = threading.Thread(
+            target=self._httpd.serve_forever, daemon=True
+        )
+        self._thread.start()
+        return self
+
+    def serve_forever(self) -> None:
+        self._httpd.serve_forever()
+
+    def stop(self) -> None:
+        self._httpd.shutdown()
+        self._httpd.server_close()
+        if self._thread is not None:
+            self._thread.join(timeout=10)
+
+
+def main(argv=None) -> None:
+    import argparse
+
+    p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    p.add_argument("--bundle", required=True, help="bundle directory")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8080)
+    args = p.parse_args(argv)
+    srv = BundleServer(args.bundle, args.host, args.port)
+    print(f"serving {args.bundle} on {srv.address[0]}:{srv.address[1]}")
+    srv.serve_forever()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,171 @@
+"""Serving bundles: export → load parity with the eval renderer, schema
+validation, and the HTTP wire protocol end-to-end.
+
+The bundle must reproduce the chunked eval path exactly
+(``eval/runner.py:662-715``): a served deployment is a drop-in for the
+research eval, which is the property the reference's users lose when
+they move off the ``all_test.py`` script."""
+
+import urllib.request
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mpsnerf_tpu.data.synthetic import SyntheticHumanDataset
+from mpsnerf_tpu.eval.runner import ViewRenderer
+from mpsnerf_tpu.models.mps_nerf import MPSNeRF
+from mpsnerf_tpu.serve import export_serving_bundle, load_serving_bundle
+from mpsnerf_tpu.serve.server import (
+    BundleServer, items_to_npz_bytes, npz_bytes_to_items,
+)
+from mpsnerf_tpu.train.trainer import to_device_input
+
+CHUNK = 512
+N_SAMPLES = 8
+
+
+@pytest.fixture(scope="module")
+def setup():
+    ds = SyntheticHumanDataset(
+        n_poses=2, n_cameras=4, image_size=64, n_rays=32, n_verts=500,
+        num_instances=1, split="test",
+    )
+    items = [ds.get_item(i, instance_idx=0) for i in range(2)]
+    smpl = ds.smpl_for(0)
+    inp = to_device_input(items[0])
+    model = MPSNeRF(num_instances=1)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0)}, smpl, inp, inp,
+        jnp.zeros((8, 3)), jnp.zeros((8, 3)), train=False,
+    )
+    return ds, items, smpl, model, variables
+
+
+@pytest.fixture(scope="module")
+def bundle(setup, tmp_path_factory):
+    ds, items, smpl, model, variables = setup
+    out = str(tmp_path_factory.mktemp("bundle"))
+    gender = int(np.asarray(items[0]["gender"]))
+    export_serving_bundle(
+        out, model, variables, {gender: smpl},
+        dict(items[0]), dict(items[0]),
+        chunk=CHUNK, n_samples=N_SAMPLES,
+    )
+    return out
+
+
+class TestBundle:
+    def test_round_trip_matches_eval_renderer(self, setup, bundle):
+        """Exported+reloaded render == the live chunked eval render."""
+        ds, items, smpl, model, variables = setup
+        served = load_serving_bundle(bundle)
+        live = ViewRenderer(
+            model, lambda g: smpl, chunk=CHUNK, n_samples=N_SAMPLES,
+            shuffle_rays=False, global_compact=False,
+        )
+        for k in (0, 1):
+            a = served.render_view(dict(items[0]), dict(items[0]), k)
+            b = live.render_view(variables, items[0], items[0], k)
+            np.testing.assert_allclose(a, b, atol=1e-5)
+
+    def test_novel_pose_item(self, setup, bundle):
+        """A second pose (fresh tp geometry) through the same bundle."""
+        ds, items, smpl, model, variables = setup
+        served = load_serving_bundle(bundle)
+        live = ViewRenderer(
+            model, lambda g: smpl, chunk=CHUNK, n_samples=N_SAMPLES,
+            shuffle_rays=False, global_compact=False,
+        )
+        a = served.render_view(dict(items[0]), dict(items[1]), 1)
+        b = live.render_view(variables, items[0], items[1], 1)
+        np.testing.assert_allclose(a, b, atol=1e-5)
+
+    def test_masked_rays(self, setup, bundle):
+        ds, items, smpl, model, variables = setup
+        served = load_serving_bundle(bundle)
+        k = 1
+        mask = np.asarray(items[0]["mask_at_box_all"][k]).reshape(-1)
+        out = served.render_view(dict(items[0]), dict(items[0]), k,
+                                 ray_mask=mask)
+        full = served.render_view(dict(items[0]), dict(items[0]), k)
+        assert (out[~mask] == 0).all()
+        np.testing.assert_allclose(out[mask], full[mask], atol=1e-6)
+
+    def test_schema_validation(self, setup, bundle):
+        ds, items, smpl, model, variables = setup
+        served = load_serving_bundle(bundle)
+        bad = dict(items[0])
+        del bad["vertices"]
+        with pytest.raises(ValueError, match="missing keys.*vertices"):
+            served.render_view(dict(items[0]), bad, 0)
+        bad = dict(items[0])
+        bad["vertices"] = np.zeros((7, 3), np.float32)
+        with pytest.raises(ValueError, match="shape"):
+            served.render_view(dict(items[0]), bad, 0)
+
+    def test_manifest_contents(self, bundle):
+        served = load_serving_bundle(bundle)
+        m = served.manifest
+        assert m["chunk"] == CHUNK and m["n_samples"] == N_SAMPLES
+        assert m["model_class"] == "MPSNeRF"
+        assert "body_grid" in m["attached_tp"]
+        assert "vertices" in m["tp_schema"]
+
+
+class TestWireProtocol:
+    def test_npz_round_trip(self, setup):
+        ds, items, smpl, model, variables = setup
+        body = items_to_npz_bytes(items[0], items[1])
+        sp, tp, mask = npz_bytes_to_items(body)
+        assert mask is None
+        np.testing.assert_array_equal(sp["vertices"],
+                                      np.asarray(items[0]["vertices"]))
+        np.testing.assert_array_equal(
+            tp["params"]["poses"], np.asarray(items[1]["params"]["poses"])
+        )
+
+    def test_http_end_to_end(self, setup, bundle):
+        ds, items, smpl, model, variables = setup
+        served = load_serving_bundle(bundle)
+        srv = BundleServer(served).start()
+        try:
+            host, port = srv.address
+            base = f"http://{host}:{port}"
+
+            with urllib.request.urlopen(f"{base}/healthz") as r:
+                assert b'"status": "ok"' in r.read()
+            with urllib.request.urlopen(f"{base}/manifest") as r:
+                assert b'"chunk"' in r.read()
+
+            body = items_to_npz_bytes(items[0], items[0])
+            req = urllib.request.Request(
+                f"{base}/render?view=1", data=body, method="POST"
+            )
+            with urllib.request.urlopen(req) as r:
+                import io
+
+                rgb = np.load(io.BytesIO(r.read()))
+            direct = served.render_view(dict(items[0]), dict(items[0]), 1)
+            np.testing.assert_allclose(rgb, direct, atol=1e-6)
+        finally:
+            srv.stop()
+
+    def test_http_bad_request(self, setup, bundle):
+        ds, items, smpl, model, variables = setup
+        srv = BundleServer(load_serving_bundle(bundle)).start()
+        try:
+            host, port = srv.address
+            sp = dict(items[0])
+            del sp["vertices"]
+            body = items_to_npz_bytes(items[0], sp)  # tp missing a key
+            req = urllib.request.Request(
+                f"http://{host}:{port}/render?view=0", data=body,
+                method="POST",
+            )
+            with pytest.raises(urllib.error.HTTPError) as ei:
+                urllib.request.urlopen(req)
+            assert ei.value.code == 400
+        finally:
+            srv.stop()

@@ -49,6 +49,7 @@ _WEIGHTS = "weights.npz"
 _SMPL = "smpl.npz"
 _RENDER = "render_chunk.bin"
 _RENDER_NC = "render_chunk_nc.bin"
+_RENDER_SHARDED = "render_sharded.bin"
 _ENCODE = "encode.bin"
 
 # item keys that are host-only (consumed by the protocol loop, never by
@@ -98,6 +99,8 @@ def export_serving_bundle(
     n_samples: int = 128,
     white_bkgd: bool = False,
     platforms: Optional[Tuple[str, ...]] = None,
+    shard_devices: int = 0,
+    shard_rays_per_device: int = 4096,
 ) -> str:
     """Export ``model`` + ``variables`` as a self-contained bundle.
 
@@ -105,6 +108,14 @@ def export_serving_bundle(
     the input schema (key set, shapes, dtypes) — serving validates every
     request against it.  ``platforms=None`` exports for the current
     backend; pass ``("tpu", "cpu")`` for a cross-platform bundle.
+
+    ``shard_devices`` > 0 additionally exports the pod-scale inference
+    graph (``parallel/mesh.py:make_sharded_render``): rays shard over a
+    ``(shard_devices,)`` 1D ``"ray"`` mesh with zero cross-chip compute
+    traffic; only the image gather crosses ICI.  The exporting process
+    must see at least that many devices; a loading process needs the
+    same count (any same-shape mesh works — the sharding is re-bound to
+    the local devices via ``Exported.in_shardings_jax``).
     """
     import jax
     import jax.numpy as jnp
@@ -202,6 +213,57 @@ def export_serving_bundle(
     with open(os.path.join(out_dir, _ENCODE), "wb") as f:
         f.write(exp_enc.serialize())
 
+    shard_rays = 0
+    if shard_devices > 0:
+        from jax.sharding import Mesh, NamedSharding
+        from jax.sharding import PartitionSpec as P
+
+        from mpsnerf_tpu.parallel.mesh import RAY_AXIS, make_sharded_render
+
+        devs = jax.devices()
+        if len(devs) < shard_devices:
+            raise ValueError(
+                f"shard_devices={shard_devices} but only {len(devs)} "
+                f"devices visible to the exporting process"
+            )
+        mesh = Mesh(np.array(devs[:shard_devices]), (RAY_AXIS,))
+        inner = make_sharded_render(
+            model, mesh, n_samples=n_samples, chunk=chunk,
+            white_bkgd=white_bkgd,
+        )
+
+        def render_sharded(variables, smpl_arrays, sp, tp, latent,
+                           ro, rd, nr, fr):
+            smpl = SMPLModel(parents=parents, **smpl_arrays)
+            sp_ = {k: (sp_types[k](**v) if k in sp_types else v)
+                   for k, v in sp.items()}
+            tp_ = {k: (tp_types[k](**v) if k in tp_types else v)
+                   for k, v in tp.items()}
+            return inner(variables, smpl, sp_, tp_, latent, ro, rd,
+                         nr, fr, jax.random.PRNGKey(0))
+
+        shard_rays = shard_devices * shard_rays_per_device
+        ray_shd = NamedSharding(mesh, P(RAY_AXIS))
+        rep_shd = NamedSharding(mesh, P())
+        put = lambda t: jax.tree.map(  # noqa: E731
+            lambda x: jax.device_put(x, rep_shd), t
+        )
+        args_sh = (
+            put(variables), put(smpl_arrays), put(sp_plain),
+            put(tp_plain), put(latent),
+            jax.device_put(jnp.zeros((shard_rays, 3), jnp.float32),
+                           ray_shd),
+            jax.device_put(jnp.ones((shard_rays, 3), jnp.float32),
+                           ray_shd),
+            jax.device_put(jnp.full((shard_rays,), 0.1, jnp.float32),
+                           ray_shd),
+            jax.device_put(jnp.full((shard_rays,), 1.0, jnp.float32),
+                           ray_shd),
+        )
+        exp_sh = jax.export.export(jax.jit(render_sharded), **kw)(*args_sh)
+        with open(os.path.join(out_dir, _RENDER_SHARDED), "wb") as f:
+            f.write(exp_sh.serialize())
+
     # -- weights: flatten the nested variables dict
     from flax.traverse_util import flatten_dict
 
@@ -237,6 +299,9 @@ def export_serving_bundle(
         "n_samples": n_samples,
         "white_bkgd": white_bkgd,
         "has_nc": has_nc,
+        "shard_devices": shard_devices,
+        "shard_rays": shard_rays,
+        "ray_axis": "ray",
         "platforms": list(platforms) if platforms else None,
         "genders": genders,
         "smpl_fields": smpl_fields,
@@ -286,6 +351,11 @@ class ServedRenderer:
         self._render = _load(_RENDER)
         self._render_nc = _load(_RENDER_NC) if m["has_nc"] else None
         self._encode = _load(_ENCODE)
+        self._sharded_exp = (
+            _load(_RENDER_SHARDED) if m.get("shard_devices", 0) > 0
+            else None
+        )
+        self._sharded_call = None  # mesh-bound lazily on first use
 
         from flax.traverse_util import unflatten_dict
 
@@ -360,9 +430,52 @@ class ServedRenderer:
 
     # -- rendering -------------------------------------------------------
 
-    def render_rays(self, sp_item: Dict, tp_item: Dict, ro, rd, nr, fr
-                    ) -> np.ndarray:
-        """Render arbitrary rays (N, 3)/(N,) -> (N, 3) float32."""
+    def _sharded_fn(self):
+        """Bind the pod-scale graph to the local devices (lazy: a bundle
+        with a sharded graph still loads on a single-device host)."""
+        if self._sharded_call is None:
+            import jax
+            from jax.sharding import Mesh
+
+            if self._sharded_exp is None:
+                raise ValueError(
+                    "bundle was exported without shard_devices"
+                )
+            n = int(self.manifest["shard_devices"])
+            devs = jax.devices()
+            if len(devs) < n:
+                raise ValueError(
+                    f"sharded render needs {n} devices; "
+                    f"{len(devs)} visible"
+                )
+            mesh = Mesh(np.array(devs[:n]),
+                        (self.manifest.get("ray_axis", "ray"),))
+            exp = self._sharded_exp
+            jitted = {}
+
+            def call(*args):
+                # in_shardings_jax returns ONE sharding PER FLAT LEAF;
+                # jit wants them in the args' tree structure
+                if "fn" not in jitted:
+                    treedef = jax.tree.structure(args)
+                    in_sh = jax.tree.unflatten(
+                        treedef, exp.in_shardings_jax(mesh)
+                    )
+                    jitted["fn"] = jax.jit(
+                        exp.call, in_shardings=in_sh,
+                        out_shardings=exp.out_shardings_jax(mesh),
+                    )
+                return jitted["fn"](*args)
+
+            self._sharded_call = call
+        return self._sharded_call
+
+    def render_rays(self, sp_item: Dict, tp_item: Dict, ro, rd, nr, fr,
+                    sharded: bool = False) -> np.ndarray:
+        """Render arbitrary rays (N, 3)/(N,) -> (N, 3) float32.
+
+        ``sharded=True`` uses the pod-scale graph (rays sharded over the
+        local device mesh) instead of the single-device chunk loop."""
         import jax.numpy as jnp
 
         sp = self._prep(sp_item, "sp")
@@ -379,8 +492,13 @@ class ServedRenderer:
         nr = np.asarray(nr, np.float32).reshape(-1)
         fr = np.asarray(fr, np.float32).reshape(-1)
 
+        step = (
+            int(self.manifest["shard_rays"]) if sharded else self.chunk
+        )
+        block_fn = self._sharded_fn() if sharded else None
+
         n = ro.shape[0]
-        n_pad = ((n + self.chunk - 1) // self.chunk) * self.chunk
+        n_pad = ((n + step - 1) // step) * step
 
         def pad(x):
             return np.concatenate(
@@ -391,26 +509,32 @@ class ServedRenderer:
         outs = []
         with self._lock:
             latent = self._latent_for(sp_item, sp)
-            for i in range(0, n_pad, self.chunk):
+            for i in range(0, n_pad, step):
                 block = (
-                    jnp.asarray(ro[i:i + self.chunk]),
-                    jnp.asarray(rd[i:i + self.chunk]),
-                    jnp.asarray(nr[i:i + self.chunk]),
-                    jnp.asarray(fr[i:i + self.chunk]),
+                    jnp.asarray(ro[i:i + step]),
+                    jnp.asarray(rd[i:i + step]),
+                    jnp.asarray(nr[i:i + step]),
+                    jnp.asarray(fr[i:i + step]),
                 )
-                rgb, _, nd = self._render.call(
-                    self.variables, smpl, sp, tp, latent, *block
-                )
-                if int(nd) > 0 and self._render_nc is not None:
-                    self.n_overflow_chunks += 1
-                    rgb, _, _ = self._render_nc.call(
+                if sharded:
+                    rgb, _, _ = block_fn(
                         self.variables, smpl, sp, tp, latent, *block
                     )
+                else:
+                    rgb, _, nd = self._render.call(
+                        self.variables, smpl, sp, tp, latent, *block
+                    )
+                    if int(nd) > 0 and self._render_nc is not None:
+                        self.n_overflow_chunks += 1
+                        rgb, _, _ = self._render_nc.call(
+                            self.variables, smpl, sp, tp, latent, *block
+                        )
                 outs.append(np.asarray(rgb))
         return np.concatenate(outs, axis=0)[:n]
 
     def render_view(self, sp_item: Dict, tp_item: Dict, k: int,
-                    ray_mask: Optional[np.ndarray] = None) -> np.ndarray:
+                    ray_mask: Optional[np.ndarray] = None,
+                    sharded: bool = False) -> np.ndarray:
         """Render target view ``k`` of ``tp_item``; returns (H*W, 3).
 
         Same contract as ``ViewRenderer.render_view`` on the chunked
@@ -426,7 +550,8 @@ class ServedRenderer:
         if ray_mask is not None:
             sel = np.flatnonzero(np.asarray(ray_mask).reshape(-1))
             ro, rd, nr, fr = ro[sel], rd[sel], nr[sel], fr[sel]
-        rgb = self.render_rays(sp_item, tp_item, ro, rd, nr, fr)
+        rgb = self.render_rays(sp_item, tp_item, ro, rd, nr, fr,
+                               sharded=sharded)
         if sel is not None:
             full = np.zeros((n_total, 3), np.float32)
             full[sel] = rgb

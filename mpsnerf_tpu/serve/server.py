@@ -11,7 +11,9 @@ Wire protocol (binary, numpy-native — no JSON round-trip for tensors):
                               (H*W, 3) float32 view K.
                               Optional key ``ray_mask`` restricts
                               rendering to masked rays (H36M masked-ray
-                              semantics).
+                              semantics).  ``&sharded=1`` renders on the
+                              pod-scale graph (bundle must have been
+                              exported with ``shard_devices``).
 
 Device work is single-flighted inside :class:`ServedRenderer`; the
 threaded server keeps request parsing and response IO off the render
@@ -130,12 +132,16 @@ class BundleServer:
                     self._json(404, {"error": f"no route {url.path!r}"})
                     return
                 try:
-                    view = int(parse_qs(url.query).get("view", ["0"])[0])
+                    q = parse_qs(url.query)
+                    view = int(q.get("view", ["0"])[0])
+                    sharded = bool(int(q.get("sharded", ["0"])[0]))
                     length = int(self.headers.get("Content-Length", "0"))
                     sp, tp, mask = npz_bytes_to_items(
                         self.rfile.read(length)
                     )
-                    rgb = outer.renderer.render_view(sp, tp, view, mask)
+                    rgb = outer.renderer.render_view(
+                        sp, tp, view, mask, sharded=sharded
+                    )
                 except (ValueError, KeyError, IndexError) as e:
                     self._json(400, {"error": f"{type(e).__name__}: {e}"})
                     return

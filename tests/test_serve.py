@@ -114,6 +114,39 @@ class TestBundle:
         assert "vertices" in m["tp_schema"]
 
 
+class TestSharded:
+    """Pod-scale serving: the exported ray-sharded graph re-binds to the
+    local device mesh and matches the single-device chunk loop."""
+
+    @pytest.fixture(scope="class")
+    def sharded_bundle(self, setup, tmp_path_factory):
+        ds, items, smpl, model, variables = setup
+        out = str(tmp_path_factory.mktemp("sharded_bundle"))
+        gender = int(np.asarray(items[0]["gender"]))
+        export_serving_bundle(
+            out, model, variables, {gender: smpl},
+            dict(items[0]), dict(items[0]),
+            chunk=CHUNK, n_samples=N_SAMPLES,
+            shard_devices=4, shard_rays_per_device=256,
+        )
+        return out
+
+    def test_sharded_matches_chunked(self, setup, sharded_bundle):
+        ds, items, smpl, model, variables = setup
+        served = load_serving_bundle(sharded_bundle)
+        assert served.manifest["shard_devices"] == 4
+        assert served.manifest["shard_rays"] == 1024
+        a = served.render_view(dict(items[0]), dict(items[0]), 1,
+                               sharded=True)
+        b = served.render_view(dict(items[0]), dict(items[0]), 1)
+        np.testing.assert_allclose(a, b, atol=1e-5)
+
+    def test_unsharded_bundle_rejects_sharded_request(self, bundle):
+        served = load_serving_bundle(bundle)
+        with pytest.raises(ValueError, match="without shard_devices"):
+            served._sharded_fn()
+
+
 class TestWireProtocol:
     def test_npz_round_trip(self, setup):
         ds, items, smpl, model, variables = setup

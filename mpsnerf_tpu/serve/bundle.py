@@ -116,6 +116,14 @@ def export_serving_bundle(
     must see at least that many devices; a loading process needs the
     same count (any same-shape mesh works — the sharding is re-bound to
     the local devices via ``Exported.in_shardings_jax``).
+
+    Backend-dependent tracing caveat: ``ops/knn.py:nearest_vertex``
+    picks its implementation at trace time — exporting FROM a TPU
+    process embeds the Pallas packed-key kernel (fastest on TPU, not
+    portable), exporting from a CPU process embeds the portable blocked
+    XLA formulation (runs everywhere, incl. TPU, a bit slower there).
+    The manifest records ``exported_backend`` so a deployment can tell
+    which it got.
     """
     import jax
     import jax.numpy as jnp
@@ -303,6 +311,7 @@ def export_serving_bundle(
         "shard_rays": shard_rays,
         "ray_axis": "ray",
         "platforms": list(platforms) if platforms else None,
+        "exported_backend": jax.default_backend(),
         "genders": genders,
         "smpl_fields": smpl_fields,
         "smpl_parents": list(parents),

@@ -105,6 +105,24 @@ class TestBundle:
         with pytest.raises(ValueError, match="shape"):
             served.render_view(dict(items[0]), bad, 0)
 
+    def test_cross_platform_export(self, setup, tmp_path_factory):
+        """One bundle lowered for BOTH tpu and cpu: exports from the CPU
+        test host (tracing the portable XLA 1-NN path) and still loads
+        and renders here."""
+        ds, items, smpl, model, variables = setup
+        out = str(tmp_path_factory.mktemp("xplat"))
+        gender = int(np.asarray(items[0]["gender"]))
+        export_serving_bundle(
+            out, model, variables, {gender: smpl},
+            dict(items[0]), dict(items[0]),
+            chunk=CHUNK, n_samples=N_SAMPLES, platforms=("tpu", "cpu"),
+        )
+        served = load_serving_bundle(out)
+        assert served.manifest["platforms"] == ["tpu", "cpu"]
+        assert served.manifest["exported_backend"] == "cpu"
+        rgb = served.render_view(dict(items[0]), dict(items[0]), 0)
+        assert rgb.shape[1] == 3 and np.isfinite(rgb).all()
+
     def test_manifest_contents(self, bundle):
         served = load_serving_bundle(bundle)
         m = served.manifest

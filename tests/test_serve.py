@@ -165,6 +165,29 @@ class TestSharded:
             served._sharded_fn()
 
 
+class TestExportCLI:
+    def test_checkpoint_to_bundle_cli(self, tmp_path):
+        """The full deployment loop from the standard config surface:
+        config -> (checkpoint|random-init) -> bundle -> load -> render."""
+        from mpsnerf_tpu.factory import return_dataset
+        from mpsnerf_tpu.config import parse_args
+        from mpsnerf_tpu.serve.export import main as export_main
+
+        out = str(tmp_path / "bundle")
+        export_main([
+            "--config", "configs/synthetic_smoke.txt",
+            "--bundle_dir", out, "--allow_random_init", "1",
+            "--serve_chunk", "512",
+        ])
+        served = load_serving_bundle(out)
+        assert served.manifest["n_samples"] == 12  # from the config file
+        args = parse_args(["--config", "configs/synthetic_smoke.txt"])
+        ds = return_dataset(args, split="test")
+        item = ds[0]
+        rgb = served.render_view(dict(item), dict(item), 0)
+        assert rgb.shape[1] == 3 and np.isfinite(rgb).all()
+
+
 class TestWireProtocol:
     def test_npz_round_trip(self, setup):
         ds, items, smpl, model, variables = setup

@@ -541,6 +541,67 @@ class ServedRenderer:
                 outs.append(np.asarray(rgb))
         return np.concatenate(outs, axis=0)[:n]
 
+    def render_camera(self, sp_item: Dict, tp_item: Dict,
+                      K, R, T, H: int, W: int,
+                      sharded: bool = False) -> np.ndarray:
+        """Render an ARBITRARY pinhole camera — the novel-viewpoint
+        serving primitive (clients send an intrinsic + extrinsic instead
+        of precomputed ray arrays).  Ray and near/far construction
+        mirrors the datasets' full-image recipe exactly
+        (``rays/rays.py:_full_image_rays``: AABB from the posed vertices
+        ± 5 cm, near=0/far=1 for box-miss rays), so rendering an item's
+        own camera reproduces ``render_view`` bit-for-bit.  Returns
+        (H*W, 3)."""
+        from mpsnerf_tpu.rays.rays import get_near_far, get_rays
+
+        ro, rd = get_rays(H, W, np.asarray(K, np.float32),
+                          np.asarray(R, np.float32),
+                          np.asarray(T, np.float32))
+        ro = ro.reshape(-1, 3).astype(np.float32)
+        rd = rd.reshape(-1, 3).astype(np.float32)
+        verts = np.asarray(tp_item["vertices"], np.float32)
+        bounds = np.stack(
+            [verts.min(0) - 0.05, verts.max(0) + 0.05], axis=0
+        ).astype(np.float32)
+        near, far, hit = get_near_far(bounds, ro, rd)
+        nr = np.zeros(ro.shape[0], np.float32)
+        fr = np.ones(ro.shape[0], np.float32)
+        nr[hit] = near
+        fr[hit] = far
+        return self.render_rays(sp_item, tp_item, ro, rd, nr, fr,
+                                sharded=sharded)
+
+    def render_spiral(self, sp_item: Dict, tp_item: Dict,
+                      n_frames: int = 40, hw: Optional[Tuple[int, int]]
+                      = None, K=None, sharded: bool = False) -> np.ndarray:
+        """Free-viewpoint video: render ``n_frames`` cameras on a spiral
+        around the subject (``geometry/spiral.py:gen_path``), seeded by
+        the item's own camera ring.  Returns (n_frames, H, W, 3)."""
+        from mpsnerf_tpu.geometry.spiral import gen_path
+
+        R_all = np.asarray(tp_item["R_all"], np.float32)
+        T_all = np.asarray(tp_item["T_all"], np.float32).reshape(-1, 3, 1)
+        if K is None:
+            K = np.asarray(tp_item["K_all"], np.float32)[0]
+        if hw is None:
+            hw = tuple(self.manifest["image_shape"][-2:])
+        H, W = int(hw[0]), int(hw[1])
+        lower = np.array([[0.0, 0.0, 0.0, 1.0]], np.float32)
+        RT = [
+            np.concatenate(
+                [np.concatenate([R_all[i], T_all[i]], 1), lower], 0
+            )
+            for i in range(len(R_all))
+        ]
+        frames = []
+        for w2c in gen_path(RT, num_views=n_frames):
+            rgb = self.render_camera(
+                sp_item, tp_item, K, w2c[:3, :3], w2c[:3, 3:4], H, W,
+                sharded=sharded,
+            )
+            frames.append(rgb.reshape(H, W, 3))
+        return np.stack(frames, axis=0)
+
     def render_view(self, sp_item: Dict, tp_item: Dict, k: int,
                     ray_mask: Optional[np.ndarray] = None,
                     sharded: bool = False) -> np.ndarray:

@@ -14,6 +14,14 @@ Wire protocol (binary, numpy-native — no JSON round-trip for tensors):
                               semantics).  ``&sharded=1`` renders on the
                               pod-scale graph (bundle must have been
                               exported with ``shard_devices``).
+    POST /camera?h=H&w=W   -> same body plus ``camera.K``, ``camera.R``,
+                              ``camera.T`` arrays: renders that ARBITRARY
+                              pinhole camera (novel viewpoint — no
+                              precomputed rays needed); ``.npy`` (H*W, 3).
+    POST /spiral?frames=N  -> free-viewpoint video: N spiral cameras
+                              around the subject; ``.npy`` (N, H, W, 3).
+                              Optional ``&h=``/``&w=`` override the
+                              bundle's native resolution.
 
 Device work is single-flighted inside :class:`ServedRenderer`; the
 threaded server keeps request parsing and response IO off the render
@@ -39,9 +47,15 @@ __all__ = ["items_to_npz_bytes", "npz_bytes_to_items", "BundleServer"]
 
 
 def items_to_npz_bytes(sp_item: Dict, tp_item: Dict,
-                       ray_mask: Optional[np.ndarray] = None) -> bytes:
-    """Client-side encoder: two item dicts -> one ``.npz`` request body."""
+                       ray_mask: Optional[np.ndarray] = None,
+                       camera: Optional[Dict] = None) -> bytes:
+    """Client-side encoder: two item dicts -> one ``.npz`` request body.
+
+    ``camera`` is a {"K", "R", "T"} dict for the ``/camera`` route."""
     flat = {}
+    if camera:
+        for k, v in camera.items():
+            flat[f"camera.{k}"] = np.asarray(v)
     for side, item in (("sp", sp_item), ("tp", tp_item)):
         for k, v in item.items():
             if k.startswith("_"):
@@ -60,10 +74,12 @@ def items_to_npz_bytes(sp_item: Dict, tp_item: Dict,
     return buf.getvalue()
 
 
-def npz_bytes_to_items(body: bytes
-                       ) -> Tuple[Dict, Dict, Optional[np.ndarray]]:
-    """Server-side decoder: request body -> (sp_item, tp_item, ray_mask)."""
-    items: Dict[str, Dict] = {"sp": {}, "tp": {}}
+def npz_bytes_to_items(
+    body: bytes,
+) -> Tuple[Dict, Dict, Optional[np.ndarray], Dict[str, np.ndarray]]:
+    """Server-side decoder: request body ->
+    (sp_item, tp_item, ray_mask, camera)."""
+    items: Dict[str, Dict] = {"sp": {}, "tp": {}, "camera": {}}
     ray_mask = None
     with np.load(io.BytesIO(body)) as z:
         for key in z.files:
@@ -78,7 +94,7 @@ def npz_bytes_to_items(body: bytes
                 items[side].setdefault(name, {})[parts[2]] = z[key]
             else:
                 items[side][name] = z[key]
-    return items["sp"], items["tp"], ray_mask
+    return items["sp"], items["tp"], ray_mask, items["camera"]
 
 
 class BundleServer:
@@ -128,25 +144,43 @@ class BundleServer:
 
             def do_POST(self):  # noqa: N802
                 url = urlparse(self.path)
-                if url.path != "/render":
+                if url.path not in ("/render", "/camera", "/spiral"):
                     self._json(404, {"error": f"no route {url.path!r}"})
                     return
                 try:
                     q = parse_qs(url.query)
-                    view = int(q.get("view", ["0"])[0])
                     sharded = bool(int(q.get("sharded", ["0"])[0]))
                     length = int(self.headers.get("Content-Length", "0"))
-                    sp, tp, mask = npz_bytes_to_items(
+                    sp, tp, mask, cam = npz_bytes_to_items(
                         self.rfile.read(length)
                     )
-                    rgb = outer.renderer.render_view(
-                        sp, tp, view, mask, sharded=sharded
-                    )
+                    r = outer.renderer
+                    if url.path == "/render":
+                        view = int(q.get("view", ["0"])[0])
+                        out = r.render_view(sp, tp, view, mask,
+                                            sharded=sharded)
+                    elif url.path == "/camera":
+                        native = r.manifest["image_shape"][-2:]
+                        h = int(q.get("h", [native[0]])[0])
+                        w = int(q.get("w", [native[1]])[0])
+                        out = r.render_camera(
+                            sp, tp, cam["K"], cam["R"], cam["T"], h, w,
+                            sharded=sharded,
+                        )
+                    else:  # /spiral
+                        frames = int(q.get("frames", ["40"])[0])
+                        hw = None
+                        if "h" in q or "w" in q:
+                            native = r.manifest["image_shape"][-2:]
+                            hw = (int(q.get("h", [native[0]])[0]),
+                                  int(q.get("w", [native[1]])[0]))
+                        out = r.render_spiral(sp, tp, n_frames=frames,
+                                              hw=hw, sharded=sharded)
                 except (ValueError, KeyError, IndexError) as e:
                     self._json(400, {"error": f"{type(e).__name__}: {e}"})
                     return
                 buf = io.BytesIO()
-                np.save(buf, rgb)
+                np.save(buf, out)
                 self._send(200, buf.getvalue(), "application/octet-stream")
 
         self._httpd = ThreadingHTTPServer((host, port), Handler)

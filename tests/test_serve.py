@@ -192,8 +192,8 @@ class TestWireProtocol:
     def test_npz_round_trip(self, setup):
         ds, items, smpl, model, variables = setup
         body = items_to_npz_bytes(items[0], items[1])
-        sp, tp, mask = npz_bytes_to_items(body)
-        assert mask is None
+        sp, tp, mask, cam = npz_bytes_to_items(body)
+        assert mask is None and cam == {}
         np.testing.assert_array_equal(sp["vertices"],
                                       np.asarray(items[0]["vertices"]))
         np.testing.assert_array_equal(
@@ -223,6 +223,42 @@ class TestWireProtocol:
                 rgb = np.load(io.BytesIO(r.read()))
             direct = served.render_view(dict(items[0]), dict(items[0]), 1)
             np.testing.assert_allclose(rgb, direct, atol=1e-6)
+        finally:
+            srv.stop()
+
+    def test_camera_matches_view(self, setup, bundle):
+        """Rendering an item's OWN camera through the novel-camera
+        primitive reproduces render_view exactly (ray + near/far
+        construction mirrors the dataset recipe)."""
+        ds, items, smpl, model, variables = setup
+        served = load_serving_bundle(bundle)
+        k = 1
+        item = dict(items[0])
+        H = W = 64
+        a = served.render_camera(
+            item, item, np.asarray(item["K_all"])[k],
+            np.asarray(item["R_all"])[k],
+            np.asarray(item["T_all"])[k], H, W,
+        )
+        b = served.render_view(item, item, k)
+        np.testing.assert_allclose(a, b, atol=1e-6)
+
+    def test_spiral_over_http(self, setup, bundle):
+        ds, items, smpl, model, variables = setup
+        srv = BundleServer(load_serving_bundle(bundle)).start()
+        try:
+            host, port = srv.address
+            body = items_to_npz_bytes(items[0], items[0])
+            req = urllib.request.Request(
+                f"http://{host}:{port}/spiral?frames=2&h=32&w=32",
+                data=body, method="POST",
+            )
+            with urllib.request.urlopen(req) as r:
+                import io
+
+                frames = np.load(io.BytesIO(r.read()))
+            assert frames.shape == (2, 32, 32, 3)
+            assert np.isfinite(frames).all()
         finally:
             srv.stop()
 

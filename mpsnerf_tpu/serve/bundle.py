@@ -135,21 +135,19 @@ def export_serving_bundle(
 
     os.makedirs(out_dir, exist_ok=True)
 
-    # -- attachments the device render needs (manifest records which,
-    #    so the serving side re-attaches without model code)
-    attached_tp: List[str] = []
+    # -- attachments the device render needs (manifest records which per
+    #    side, so the serving side re-attaches without model code; a key
+    #    already attached by the caller is recorded the same way — the
+    #    schema and the re-attach rule must agree for BOTH sides)
     if getattr(model, "human_sample", False) and "body_grid" not in tp_item:
         attach_body_grid(tp_item)
-    if "body_grid" in tp_item:
-        attached_tp.append("body_grid")
-    attach_sp: List[str] = []
     if getattr(model, "correction_field", False):
         canonical = bool(getattr(model, "canonical_grid", False))
-        for it, acc in ((tp_item, attached_tp), (sp_item, attach_sp)):
+        for it in (tp_item, sp_item):
             if "spconv_plan" not in it and "coord" in it:
                 attach_spconv_plan(it, canonical=canonical)
-            if "spconv_plan" in it:
-                acc.append("spconv_plan")
+    attached_tp = [k for k in ("body_grid", "spconv_plan") if k in tp_item]
+    attach_sp = [k for k in ("body_grid", "spconv_plan") if k in sp_item]
 
     sp_dev = to_device_input({k: sp_item[k] for k in _device_keys(sp_item)})
     tp_dev = to_device_input({k: tp_item[k] for k in _device_keys(tp_item)})
@@ -515,9 +513,14 @@ class ServedRenderer:
             )
 
         ro, rd, nr, fr = pad(ro), pad(rd), pad(nr), pad(fr)
-        outs = []
         with self._lock:
             latent = self._latent_for(sp_item, sp)
+            # dispatch EVERY chunk before fetching anything: JAX's async
+            # dispatch keeps the device busy back-to-back; checking the
+            # overflow scalar inline would sync once per chunk (one
+            # round-trip each over a tunneled chip — the dominant cost
+            # of a naive serving loop)
+            pending = []
             for i in range(0, n_pad, step):
                 block = (
                     jnp.asarray(ro[i:i + step]),
@@ -529,15 +532,22 @@ class ServedRenderer:
                     rgb, _, _ = block_fn(
                         self.variables, smpl, sp, tp, latent, *block
                     )
+                    pending.append((rgb, None, None))
                 else:
                     rgb, _, nd = self._render.call(
                         self.variables, smpl, sp, tp, latent, *block
                     )
-                    if int(nd) > 0 and self._render_nc is not None:
-                        self.n_overflow_chunks += 1
-                        rgb, _, _ = self._render_nc.call(
-                            self.variables, smpl, sp, tp, latent, *block
-                        )
+                    pending.append((rgb, nd, block))
+            outs = []
+            for rgb, nd, block in pending:
+                if nd is not None and int(nd) > 0 \
+                        and self._render_nc is not None:
+                    # capacity overflow would silently zero valid
+                    # samples — re-render this chunk uncompacted
+                    self.n_overflow_chunks += 1
+                    rgb, _, _ = self._render_nc.call(
+                        self.variables, smpl, sp, tp, latent, *block
+                    )
                 outs.append(np.asarray(rgb))
         return np.concatenate(outs, axis=0)[:n]
 

@@ -126,6 +126,9 @@ run_stage "plan formulations" \
 run_stage "eval latency artifact (sequential + pipelined + hostdda)" \
   env PYTHONPATH=/root/repo:/root/.axon_site $PY tools/eval_latency_probe.py
 
+run_stage "serving latency artifact (export + direct + HTTP + eval ref)" \
+  env PYTHONPATH=/root/repo:/root/.axon_site $PY tools/serve_latency_probe.py
+
 if [ -n "$FAILED_STAGES" ]; then
   echo "=== done WITH FAILURES:$FAILED_STAGES ==="
   exit 1

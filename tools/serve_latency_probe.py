@@ -72,7 +72,7 @@ def main():
     gender = int(np.asarray(item["gender"]))
 
     out = {"res": H, "n_samples": N_SAMPLES, "chunk": CHUNK,
-           "dtype": DTYPE}
+           "dtype": DTYPE, "backend": jax.default_backend()}
 
     bundle_dir = "/tmp/serve_probe_bundle"
     t0 = time.perf_counter()

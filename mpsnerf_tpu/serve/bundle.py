@@ -10,6 +10,10 @@ model:
     render_chunk.bin     jax.export StableHLO: fixed-size ray chunk
     render_chunk_nc.bin  (only if the model compacts) uncompacted twin,
                          used to re-render a chunk on capacity overflow
+    plan_global.bin      (human-sample models) global-compaction plan
+    fine_global.bin      (human-sample models) exact-mask fine pre-pass
+    render_global.bin    (human-sample models) the eval path's globally
+                         compacted whole-view render — the fast default
     encode.bin           jax.export StableHLO: source-image encoder
     weights.npz          trained variables (flattened param dict)
     smpl.npz             SMPL rig arrays per gender
@@ -50,6 +54,9 @@ _SMPL = "smpl.npz"
 _RENDER = "render_chunk.bin"
 _RENDER_NC = "render_chunk_nc.bin"
 _RENDER_SHARDED = "render_sharded.bin"
+_PLAN_GLOBAL = "plan_global.bin"
+_FINE_GLOBAL = "fine_global.bin"
+_RENDER_GLOBAL = "render_global.bin"
 _ENCODE = "encode.bin"
 
 # item keys that are host-only (consumed by the protocol loop, never by
@@ -87,6 +94,25 @@ def _device_keys(item: Dict) -> List[str]:
     )
 
 
+def _pad_rays_far(ro, rd, nr, fr, n_pad: int):
+    """Pad ray arrays to ``n_pad`` with rays FAR outside the body grid
+    (same fill as ``eval/runner.py:ViewRenderer._pad_rays_host``): zero
+    candidates, so padding never costs compaction capacity or tail
+    slots, and a nonzero direction keeps viewdir normalization finite."""
+    n = ro.shape[0]
+    if n_pad == n:
+        return ro, rd, nr, fr
+
+    def pad(x, fill):
+        p = np.full((n_pad - n,) + x.shape[1:], fill, x.dtype)
+        return np.concatenate([x, p])
+
+    rd_p = np.concatenate(
+        [rd, np.tile(np.array([1.0, 0, 0], rd.dtype), (n_pad - n, 1))]
+    )
+    return pad(ro, 1e6), rd_p, pad(nr, 0.0), pad(fr, 1.0)
+
+
 def export_serving_bundle(
     out_dir: str,
     model,
@@ -101,6 +127,10 @@ def export_serving_bundle(
     platforms: Optional[Tuple[str, ...]] = None,
     shard_devices: int = 0,
     shard_rays_per_device: int = 4096,
+    global_compact: bool = True,
+    serve_tile: int = 16384,
+    serve_headroom: float = 1.5,
+    serve_view_rays: Optional[int] = None,
 ) -> str:
     """Export ``model`` + ``variables`` as a self-contained bundle.
 
@@ -270,6 +300,153 @@ def export_serving_bundle(
         with open(os.path.join(out_dir, _RENDER_SHARDED), "wb") as f:
             f.write(exp_sh.serialize())
 
+    # -- global-compaction view graphs: the eval path's fast renderer
+    #    (renderer/render.py:render_rays_compact — one body-grid cull +
+    #    ONE compaction over every sample of the view, the MLP tail runs
+    #    only on true body points).  Serving through the dense chunked
+    #    graph pays for every empty sample; at the bench workload the
+    #    compacted path is the 2.5x-faster one the eval protocol uses, so
+    #    a bundle exports it too whenever the model carries the 5 cm
+    #    human-region mask its semantics rest on (mirrors the gating in
+    #    eval/runner.py:ViewRenderer.__init__).  Capacities are STATIC in
+    #    the exported graphs; they are sized here by probing the sample
+    #    item's own views and recorded in the manifest — a served request
+    #    that overflows them surfaces through n_dropped and falls back to
+    #    the (always-exported) chunked graph, never to a wrong pixel.
+    from mpsnerf_tpu.models.mps_nerf import MPSNeRF as _MPSNeRF
+
+    has_global = bool(
+        global_compact
+        and isinstance(model, _MPSNeRF)
+        and getattr(model, "human_sample", False)
+        and "body_grid" in tp_plain
+    )
+    if has_global and "ray_o_all" not in tp_item:
+        print(
+            "serving export: tp_item lacks ray_o_all — cannot probe "
+            "capacities; skipping the global-compaction graphs"
+        )
+        has_global = False
+    global_meta = None
+    if has_global:
+        from mpsnerf_tpu.ops.compact import Compaction
+        from mpsnerf_tpu.renderer.render import (
+            fine_rays_compact, plan_rays_compact, render_rays_compact,
+        )
+
+        n_view = serve_view_rays or int(np.shape(tp_item["ray_o_all"])[1])
+        c = 1
+        while c * 4096 < n_view:
+            c *= 2
+        serve_rays = c * 4096
+        m_total = serve_rays * n_samples
+        plan_fields = Compaction._fields
+
+        def plan_global(smpl_arrays, tp, ro, rd, nr, fr):
+            smpl = SMPLModel(parents=parents, **smpl_arrays)
+            tp_ = {k: (tp_types[k](**v) if k in tp_types else v)
+                   for k, v in tp.items()}
+            p = plan_rays_compact(
+                smpl, tp_, ro, rd, nr, fr, jax.random.PRNGKey(0),
+                n_samples=n_samples, perturb=0.0,
+            )
+            return dict(zip(plan_fields, p))
+
+        # size the capacity bucket: the exact candidate count of the
+        # sample item's views (the plan pre-pass is cheap — cull+cumsum)
+        plan_jit = jax.jit(plan_global)
+        gender_tp = int(np.asarray(tp_item["gender"]))
+        smpl_tp = smpl_by_gender[gender_tp]
+        smpl_arrays_tp = {
+            f: jnp.asarray(getattr(smpl_tp, f)) for f in smpl_fields
+        }
+        n_views = int(np.shape(tp_item["ray_o_all"])[0])
+        counts: List[int] = []
+        probe_rays = None
+        probe_plan = None
+        for k in range(min(n_views, 8)):
+            ro_p, rd_p, nr_p, fr_p = _pad_rays_far(
+                np.asarray(tp_item["ray_o_all"][k], np.float32),
+                np.asarray(tp_item["ray_d_all"][k], np.float32),
+                np.asarray(tp_item["near_all"][k], np.float32).reshape(-1),
+                np.asarray(tp_item["far_all"][k], np.float32).reshape(-1),
+                serve_rays,
+            )
+            rays_k = tuple(
+                jnp.asarray(x) for x in (ro_p, rd_p, nr_p, fr_p)
+            )
+            p = plan_jit(smpl_arrays_tp, tp_plain, *rays_k)
+            counts.append(int(p["n_valid"]))
+            if probe_rays is None:
+                probe_rays, probe_plan = rays_k, p
+        tile = min(serve_tile, m_total)
+        capacity = min(
+            m_total,
+            max(tile, int(np.ceil(max(counts) * serve_headroom / tile))
+                * tile),
+        )
+
+        def fine_global(smpl_arrays, tp, ro, rd, nr, fr, plan):
+            smpl = SMPLModel(parents=parents, **smpl_arrays)
+            tp_ = {k: (tp_types[k](**v) if k in tp_types else v)
+                   for k, v in tp.items()}
+            fp, fids = fine_rays_compact(
+                smpl, tp_, ro, rd, nr, fr, jax.random.PRNGKey(0),
+                n_samples=n_samples, plan=Compaction(**plan),
+                capacity=capacity, perturb=0.0,
+            )
+            return dict(zip(plan_fields, fp)), fids
+
+        fine_jit = jax.jit(fine_global)
+        probe_fine, probe_fids = fine_jit(
+            smpl_arrays_tp, tp_plain, *probe_rays, probe_plan
+        )
+        fine_capacity = min(
+            capacity,
+            max(tile,
+                int(np.ceil(int(probe_fine["n_valid"]) * serve_headroom
+                            / tile)) * tile),
+        )
+
+        def render_global(variables, smpl_arrays, sp, tp, latent,
+                          ro, rd, nr, fr, plan, fplan, fids):
+            smpl = SMPLModel(parents=parents, **smpl_arrays)
+            sp_ = {k: (sp_types[k](**v) if k in sp_types else v)
+                   for k, v in sp.items()}
+            tp_ = {k: (tp_types[k](**v) if k in tp_types else v)
+                   for k, v in tp.items()}
+            rgb, _disp, acc, nd = render_rays_compact(
+                model, variables, smpl, sp_, tp_, latent,
+                ro, rd, nr, fr, jax.random.PRNGKey(0),
+                n_samples=n_samples, capacity=capacity, tile=tile,
+                fine_capacity=fine_capacity, perturb=0.0, train=False,
+                white_bkgd=white_bkgd, plan=Compaction(**plan),
+                fine_plan=Compaction(**fplan), fine_ids=fids,
+            )
+            return rgb, acc, nd
+
+        for name, fn, ex_args in (
+            (_PLAN_GLOBAL, plan_global,
+             (smpl_arrays, tp_plain) + probe_rays),
+            (_FINE_GLOBAL, fine_global,
+             (smpl_arrays, tp_plain) + probe_rays + (probe_plan,)),
+            (_RENDER_GLOBAL, render_global,
+             (variables, smpl_arrays, sp_plain, tp_plain, latent)
+             + probe_rays + (probe_plan, probe_fine, probe_fids)),
+        ):
+            exp_g = jax.export.export(jax.jit(fn), **kw)(*ex_args)
+            with open(os.path.join(out_dir, name), "wb") as f:
+                f.write(exp_g.serialize())
+        global_meta = {
+            "serve_rays": serve_rays,
+            "capacity": capacity,
+            "fine_capacity": fine_capacity,
+            "tile": tile,
+            "headroom": serve_headroom,
+            "probed_counts": counts,
+            "probed_fine_count": int(probe_fine["n_valid"]),
+        }
+
     # -- weights: flatten the nested variables dict
     from flax.traverse_util import flatten_dict
 
@@ -305,6 +482,8 @@ def export_serving_bundle(
         "n_samples": n_samples,
         "white_bkgd": white_bkgd,
         "has_nc": has_nc,
+        "has_global": has_global,
+        "global": global_meta,
         "shard_devices": shard_devices,
         "shard_rays": shard_rays,
         "ray_axis": "ray",
@@ -363,6 +542,13 @@ class ServedRenderer:
             else None
         )
         self._sharded_call = None  # mesh-bound lazily on first use
+        self._has_global = bool(m.get("has_global"))
+        if self._has_global:
+            self._plan_g = _load(_PLAN_GLOBAL)
+            self._fine_g = _load(_FINE_GLOBAL)
+            self._render_g = _load(_RENDER_GLOBAL)
+            self.serve_rays = int(m["global"]["serve_rays"])
+        self.n_global_fallbacks = 0
 
         from flax.traverse_util import unflatten_dict
 
@@ -478,13 +664,16 @@ class ServedRenderer:
         return self._sharded_call
 
     def render_rays(self, sp_item: Dict, tp_item: Dict, ro, rd, nr, fr,
-                    sharded: bool = False) -> np.ndarray:
+                    sharded: bool = False,
+                    use_global: Optional[bool] = None) -> np.ndarray:
         """Render arbitrary rays (N, 3)/(N,) -> (N, 3) float32.
 
         ``sharded=True`` uses the pod-scale graph (rays sharded over the
-        local device mesh) instead of the single-device chunk loop."""
-        import jax.numpy as jnp
-
+        local device mesh) instead of the single-device chunk loop.
+        ``use_global`` picks the globally-compacted view graph (default:
+        on whenever the bundle has it and ``sharded`` is off) — the eval
+        path's fast renderer; pixel-exact vs the chunked graph, with an
+        automatic chunked fallback on capacity overflow."""
         sp = self._prep(sp_item, "sp")
         tp = self._prep(tp_item, "tp")
         gender = int(np.asarray(sp_item["gender"]))
@@ -498,62 +687,116 @@ class ServedRenderer:
         rd = np.asarray(rd, np.float32).reshape(-1, 3)
         nr = np.asarray(nr, np.float32).reshape(-1)
         fr = np.asarray(fr, np.float32).reshape(-1)
+        if use_global is None:
+            use_global = self._has_global and not sharded
+        use_global = bool(use_global and self._has_global and not sharded)
+
+        n = ro.shape[0]
+        with self._lock:
+            latent = self._latent_for(sp_item, sp)
+            if use_global:
+                out = self._global_blocks(
+                    smpl, sp, tp, latent, ro, rd, nr, fr
+                )
+            else:
+                out = self._chunked_rays(
+                    smpl, sp, tp, latent, ro, rd, nr, fr, sharded
+                )
+        return out[:n]
+
+    def _chunked_rays(self, smpl, sp, tp, latent, ro, rd, nr, fr,
+                      sharded: bool = False) -> np.ndarray:
+        """Chunk-loop render of padded ray arrays (lock held by caller).
+        Returns (padded_n, 3) float32."""
+        import jax.numpy as jnp
 
         step = (
             int(self.manifest["shard_rays"]) if sharded else self.chunk
         )
         block_fn = self._sharded_fn() if sharded else None
-
         n = ro.shape[0]
         n_pad = ((n + step - 1) // step) * step
-
-        def pad(x):
-            return np.concatenate(
-                [x, np.zeros((n_pad - n,) + x.shape[1:], x.dtype)]
+        ro, rd, nr, fr = _pad_rays_far(ro, rd, nr, fr, n_pad)
+        # dispatch EVERY chunk before fetching anything: JAX's async
+        # dispatch keeps the device busy back-to-back; checking the
+        # overflow scalar inline would sync once per chunk (one
+        # round-trip each over a tunneled chip — the dominant cost
+        # of a naive serving loop)
+        pending = []
+        for i in range(0, n_pad, step):
+            block = (
+                jnp.asarray(ro[i:i + step]),
+                jnp.asarray(rd[i:i + step]),
+                jnp.asarray(nr[i:i + step]),
+                jnp.asarray(fr[i:i + step]),
             )
-
-        ro, rd, nr, fr = pad(ro), pad(rd), pad(nr), pad(fr)
-        with self._lock:
-            latent = self._latent_for(sp_item, sp)
-            # dispatch EVERY chunk before fetching anything: JAX's async
-            # dispatch keeps the device busy back-to-back; checking the
-            # overflow scalar inline would sync once per chunk (one
-            # round-trip each over a tunneled chip — the dominant cost
-            # of a naive serving loop)
-            pending = []
-            for i in range(0, n_pad, step):
-                block = (
-                    jnp.asarray(ro[i:i + step]),
-                    jnp.asarray(rd[i:i + step]),
-                    jnp.asarray(nr[i:i + step]),
-                    jnp.asarray(fr[i:i + step]),
+            if sharded:
+                rgb, _, _ = block_fn(
+                    self.variables, smpl, sp, tp, latent, *block
                 )
-                if sharded:
-                    rgb, _, _ = block_fn(
-                        self.variables, smpl, sp, tp, latent, *block
-                    )
-                    pending.append((rgb, None, None))
-                else:
-                    rgb, _, nd = self._render.call(
-                        self.variables, smpl, sp, tp, latent, *block
-                    )
-                    pending.append((rgb, nd, block))
-            outs = []
-            for rgb, nd, block in pending:
-                if nd is not None and int(nd) > 0 \
-                        and self._render_nc is not None:
-                    # capacity overflow would silently zero valid
-                    # samples — re-render this chunk uncompacted
-                    self.n_overflow_chunks += 1
-                    rgb, _, _ = self._render_nc.call(
-                        self.variables, smpl, sp, tp, latent, *block
-                    )
-                outs.append(np.asarray(rgb))
-        return np.concatenate(outs, axis=0)[:n]
+                pending.append((rgb, None, None))
+            else:
+                rgb, _, nd = self._render.call(
+                    self.variables, smpl, sp, tp, latent, *block
+                )
+                pending.append((rgb, nd, block))
+        outs = []
+        for rgb, nd, block in pending:
+            if nd is not None and int(nd) > 0 \
+                    and self._render_nc is not None:
+                # capacity overflow would silently zero valid
+                # samples — re-render this chunk uncompacted
+                self.n_overflow_chunks += 1
+                rgb, _, _ = self._render_nc.call(
+                    self.variables, smpl, sp, tp, latent, *block
+                )
+            outs.append(np.asarray(rgb))
+        return np.concatenate(outs, axis=0)
+
+    def _global_blocks(self, smpl, sp, tp, latent, ro, rd, nr, fr
+                       ) -> np.ndarray:
+        """Globally-compacted render in fixed ``serve_rays`` view blocks
+        (lock held by caller).  Zero mid-pipeline host syncs: the static
+        capacities were probed at export, so plan -> fine -> render
+        dispatch back-to-back and only the fetched ``n_dropped`` scalar
+        is checked — a nonzero (request denser than the bundle's probed
+        views) re-renders that block on the chunked graph, so overflow
+        costs latency, never pixels."""
+        import jax.numpy as jnp
+
+        step = self.serve_rays
+        n = ro.shape[0]
+        n_pad = ((n + step - 1) // step) * step
+        ro, rd, nr, fr = _pad_rays_far(ro, rd, nr, fr, n_pad)
+        pending = []
+        for i in range(0, n_pad, step):
+            sl = slice(i, i + step)
+            block = (
+                jnp.asarray(ro[sl]), jnp.asarray(rd[sl]),
+                jnp.asarray(nr[sl]), jnp.asarray(fr[sl]),
+            )
+            plan = self._plan_g.call(smpl, tp, *block)
+            fplan, fids = self._fine_g.call(smpl, tp, *block, plan)
+            rgb, _, nd = self._render_g.call(
+                self.variables, smpl, sp, tp, latent, *block, plan,
+                fplan, fids,
+            )
+            pending.append((rgb, nd, sl))
+        outs = []
+        for rgb, nd, sl in pending:
+            if int(nd) > 0:
+                self.n_global_fallbacks += 1
+                rgb = self._chunked_rays(
+                    smpl, sp, tp, latent,
+                    ro[sl], rd[sl], nr[sl], fr[sl],
+                )
+            outs.append(np.asarray(rgb))
+        return np.concatenate(outs, axis=0)
 
     def render_camera(self, sp_item: Dict, tp_item: Dict,
                       K, R, T, H: int, W: int,
-                      sharded: bool = False) -> np.ndarray:
+                      sharded: bool = False,
+                      use_global: Optional[bool] = None) -> np.ndarray:
         """Render an ARBITRARY pinhole camera — the novel-viewpoint
         serving primitive (clients send an intrinsic + extrinsic instead
         of precomputed ray arrays).  Ray and near/far construction
@@ -579,11 +822,12 @@ class ServedRenderer:
         nr[hit] = near
         fr[hit] = far
         return self.render_rays(sp_item, tp_item, ro, rd, nr, fr,
-                                sharded=sharded)
+                                sharded=sharded, use_global=use_global)
 
     def render_spiral(self, sp_item: Dict, tp_item: Dict,
                       n_frames: int = 40, hw: Optional[Tuple[int, int]]
-                      = None, K=None, sharded: bool = False) -> np.ndarray:
+                      = None, K=None, sharded: bool = False,
+                      use_global: Optional[bool] = None) -> np.ndarray:
         """Free-viewpoint video: render ``n_frames`` cameras on a spiral
         around the subject (``geometry/spiral.py:gen_path``), seeded by
         the item's own camera ring.  Returns (n_frames, H, W, 3)."""
@@ -607,14 +851,15 @@ class ServedRenderer:
         for w2c in gen_path(RT, num_views=n_frames):
             rgb = self.render_camera(
                 sp_item, tp_item, K, w2c[:3, :3], w2c[:3, 3:4], H, W,
-                sharded=sharded,
+                sharded=sharded, use_global=use_global,
             )
             frames.append(rgb.reshape(H, W, 3))
         return np.stack(frames, axis=0)
 
     def render_view(self, sp_item: Dict, tp_item: Dict, k: int,
                     ray_mask: Optional[np.ndarray] = None,
-                    sharded: bool = False) -> np.ndarray:
+                    sharded: bool = False,
+                    use_global: Optional[bool] = None) -> np.ndarray:
         """Render target view ``k`` of ``tp_item``; returns (H*W, 3).
 
         Same contract as ``ViewRenderer.render_view`` on the chunked
@@ -631,7 +876,7 @@ class ServedRenderer:
             sel = np.flatnonzero(np.asarray(ray_mask).reshape(-1))
             ro, rd, nr, fr = ro[sel], rd[sel], nr[sel], fr[sel]
         rgb = self.render_rays(sp_item, tp_item, ro, rd, nr, fr,
-                               sharded=sharded)
+                               sharded=sharded, use_global=use_global)
         if sel is not None:
             full = np.zeros((n_total, 3), np.float32)
             full[sel] = rgb

@@ -48,6 +48,20 @@ def main(argv=None):
         "--allow_random_init", type=int, default=0,
         help="export even when no checkpoint exists (smoke tests only)",
     )
+    parser.add_argument(
+        "--serve_global", type=int, default=1,
+        help="also export the globally-compacted view graphs "
+             "(human-sample models; the fast serving default)",
+    )
+    parser.add_argument(
+        "--serve_tile", type=int, default=16384,
+        help="tail tile of the global render graph",
+    )
+    parser.add_argument(
+        "--serve_headroom", type=float, default=1.5,
+        help="capacity headroom over the probed per-view candidate "
+             "counts; overflowing requests fall back to the chunked graph",
+    )
     args = parse_args(argv, parser=parser)
 
     import jax
@@ -114,6 +128,8 @@ def main(argv=None):
         chunk=args.serve_chunk, n_samples=args.N_samples,
         white_bkgd=bool(args.white_bkgd), platforms=platforms,
         shard_devices=args.shard_devices,
+        global_compact=bool(args.serve_global),
+        serve_tile=args.serve_tile, serve_headroom=args.serve_headroom,
     )
     sizes = {
         f: os.path.getsize(os.path.join(out_dir, f))

@@ -14,6 +14,9 @@ Wire protocol (binary, numpy-native — no JSON round-trip for tensors):
                               semantics).  ``&sharded=1`` renders on the
                               pod-scale graph (bundle must have been
                               exported with ``shard_devices``).
+                              ``&global=0`` forces the chunked graph off
+                              the default globally-compacted fast path
+                              (bundles of human-sample models).
     POST /camera?h=H&w=W   -> same body plus ``camera.K``, ``camera.R``,
                               ``camera.T`` arrays: renders that ARBITRARY
                               pinhole camera (novel viewpoint — no
@@ -136,6 +139,10 @@ class BundleServer:
                             "model_class"],
                         "chunk": outer.renderer.chunk,
                         "overflow_chunks": outer.renderer.n_overflow_chunks,
+                        "global_fallbacks":
+                            outer.renderer.n_global_fallbacks,
+                        "has_global": outer.renderer.manifest.get(
+                            "has_global", False),
                     })
                 elif path == "/manifest":
                     self._json(200, outer.renderer.manifest)
@@ -150,6 +157,10 @@ class BundleServer:
                 try:
                     q = parse_qs(url.query)
                     sharded = bool(int(q.get("sharded", ["0"])[0]))
+                    use_global = (
+                        bool(int(q["global"][0])) if "global" in q
+                        else None
+                    )
                     length = int(self.headers.get("Content-Length", "0"))
                     sp, tp, mask, cam = npz_bytes_to_items(
                         self.rfile.read(length)
@@ -158,14 +169,15 @@ class BundleServer:
                     if url.path == "/render":
                         view = int(q.get("view", ["0"])[0])
                         out = r.render_view(sp, tp, view, mask,
-                                            sharded=sharded)
+                                            sharded=sharded,
+                                            use_global=use_global)
                     elif url.path == "/camera":
                         native = r.manifest["image_shape"][-2:]
                         h = int(q.get("h", [native[0]])[0])
                         w = int(q.get("w", [native[1]])[0])
                         out = r.render_camera(
                             sp, tp, cam["K"], cam["R"], cam["T"], h, w,
-                            sharded=sharded,
+                            sharded=sharded, use_global=use_global,
                         )
                     else:  # /spiral
                         frames = int(q.get("frames", ["40"])[0])
@@ -175,7 +187,8 @@ class BundleServer:
                             hw = (int(q.get("h", [native[0]])[0]),
                                   int(q.get("w", [native[1]])[0]))
                         out = r.render_spiral(sp, tp, n_frames=frames,
-                                              hw=hw, sharded=sharded)
+                                              hw=hw, sharded=sharded,
+                                              use_global=use_global)
                 except (ValueError, KeyError, IndexError) as e:
                     self._json(400, {"error": f"{type(e).__name__}: {e}"})
                     return

@@ -279,3 +279,103 @@ class TestWireProtocol:
             assert ei.value.code == 400
         finally:
             srv.stop()
+
+
+class TestGlobalServe:
+    """The globally-compacted serving path (plan_global/fine_global/
+    render_global graphs): the eval protocol's fast renderer
+    (``renderer/render.py:render_rays_compact``) exported AOT.  Pixel-
+    exact vs the chunked graph; static-capacity overflow falls back to
+    the chunked graph instead of dropping samples."""
+
+    def test_manifest_and_exact_parity(self, setup, bundle):
+        ds, items, smpl, model, variables = setup
+        served = load_serving_bundle(bundle)
+        m = served.manifest
+        assert m["has_global"] and m["global"]["serve_rays"] == 4096
+        assert m["global"]["capacity"] % m["global"]["tile"] == 0
+        a = served.render_view(dict(items[0]), dict(items[0]), 1)
+        b = served.render_view(dict(items[0]), dict(items[0]), 1,
+                               use_global=False)
+        np.testing.assert_array_equal(a, b)
+        assert served.n_global_fallbacks == 0
+
+    def test_novel_pose_through_global(self, setup, bundle):
+        """A fresh tp geometry re-runs the plan pre-pass per request."""
+        ds, items, smpl, model, variables = setup
+        served = load_serving_bundle(bundle)
+        a = served.render_view(dict(items[0]), dict(items[1]), 0)
+        b = served.render_view(dict(items[0]), dict(items[1]), 0,
+                               use_global=False)
+        np.testing.assert_array_equal(a, b)
+
+    @pytest.fixture(scope="class")
+    def tight_bundle(self, setup, tmp_path_factory):
+        """Capacities probed with ~no headroom: every real view
+        overflows the static buckets."""
+        ds, items, smpl, model, variables = setup
+        out = str(tmp_path_factory.mktemp("tight"))
+        gender = int(np.asarray(items[0]["gender"]))
+        export_serving_bundle(
+            out, model, variables, {gender: smpl},
+            dict(items[0]), dict(items[0]),
+            chunk=CHUNK, n_samples=N_SAMPLES,
+            serve_tile=512, serve_headroom=0.05,
+        )
+        return out
+
+    def test_overflow_falls_back_exactly(self, setup, tight_bundle):
+        ds, items, smpl, model, variables = setup
+        served = load_serving_bundle(tight_bundle)
+        assert served.manifest["global"]["capacity"] == 512
+        a = served.render_view(dict(items[0]), dict(items[0]), 1)
+        assert served.n_global_fallbacks >= 1
+        b = served.render_view(dict(items[0]), dict(items[0]), 1,
+                               use_global=False)
+        np.testing.assert_array_equal(a, b)
+
+    def test_global_compact_off_export(self, setup, tmp_path_factory):
+        """global_compact=False skips the three extra graphs and the
+        loaded bundle serves through the chunked path."""
+        import os
+
+        ds, items, smpl, model, variables = setup
+        out = str(tmp_path_factory.mktemp("noglobal"))
+        gender = int(np.asarray(items[0]["gender"]))
+        export_serving_bundle(
+            out, model, variables, {gender: smpl},
+            dict(items[0]), dict(items[0]),
+            chunk=CHUNK, n_samples=N_SAMPLES, global_compact=False,
+        )
+        assert not os.path.exists(out + "/render_global.bin")
+        served = load_serving_bundle(out)
+        assert not served.manifest["has_global"]
+        rgb = served.render_view(dict(items[0]), dict(items[0]), 0)
+        assert rgb.shape[1] == 3 and np.isfinite(rgb).all()
+
+    def test_http_global_param(self, setup, bundle):
+        """&global=0 forces the chunked graph; output is identical."""
+        import io
+
+        ds, items, smpl, model, variables = setup
+        srv = BundleServer(load_serving_bundle(bundle)).start()
+        try:
+            host, port = srv.address
+            body = items_to_npz_bytes(items[0], items[0])
+
+            def post(url):
+                req = urllib.request.Request(url, data=body,
+                                             method="POST")
+                with urllib.request.urlopen(req) as r:
+                    return np.load(io.BytesIO(r.read()))
+
+            a = post(f"http://{host}:{port}/render?view=0")
+            b = post(f"http://{host}:{port}/render?view=0&global=0")
+            np.testing.assert_array_equal(a, b)
+            with urllib.request.urlopen(
+                f"http://{host}:{port}/healthz"
+            ) as r:
+                health = r.read()
+            assert b'"has_global": true' in health
+        finally:
+            srv.stop()

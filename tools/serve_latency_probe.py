@@ -108,6 +108,16 @@ def main():
     )
     out["served_direct_ms"] = [t * 1e3 for t in direct]
     out["served_steady_rays_per_s"] = n_rays / min(direct)
+    out["served_global"] = bool(served.manifest.get("has_global"))
+    out["served_global_fallbacks"] = served.n_global_fallbacks
+
+    if served.manifest.get("has_global"):
+        print("served chunked (use_global=0, the dense graph):")
+        chunked = timed_views(
+            lambda i: served.render_view(req_item, req_item, 3,
+                                         use_global=False), N_REQ
+        )
+        out["served_chunked_ms"] = [t * 1e3 for t in chunked]
 
     print("served over HTTP (localhost):")
     srv = BundleServer(served).start()

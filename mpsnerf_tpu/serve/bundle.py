@@ -14,6 +14,8 @@ model:
     fine_global.bin      (human-sample models) exact-mask fine pre-pass
     render_global.bin    (human-sample models) the eval path's globally
                          compacted whole-view render — the fast default
+    mesh_occupancy.bin   density query + SMPL-distance carve for mesh
+                         extraction (/mesh; marching cubes runs on host)
     encode.bin           jax.export StableHLO: source-image encoder
     weights.npz          trained variables (flattened param dict)
     smpl.npz             SMPL rig arrays per gender
@@ -57,6 +59,7 @@ _RENDER_SHARDED = "render_sharded.bin"
 _PLAN_GLOBAL = "plan_global.bin"
 _FINE_GLOBAL = "fine_global.bin"
 _RENDER_GLOBAL = "render_global.bin"
+_MESH = "mesh_occupancy.bin"
 _ENCODE = "encode.bin"
 
 # item keys that are host-only (consumed by the protocol loop, never by
@@ -131,6 +134,7 @@ def export_serving_bundle(
     serve_tile: int = 16384,
     serve_headroom: float = 1.5,
     serve_view_rays: Optional[int] = None,
+    mesh_chunk: int = 262144,
 ) -> str:
     """Export ``model`` + ``variables`` as a self-contained bundle.
 
@@ -447,6 +451,69 @@ def export_serving_bundle(
             "probed_fine_count": int(probe_fine["n_valid"]),
         }
 
+    # -- mesh-occupancy graph: density query + SMPL-distance carving in
+    #    ONE device graph (the extract_thuman_mesh.py pipeline's device
+    #    half, geometry/extract.py:extract_density_mesh; ref
+    #    extract_thuman_mesh.py:74-213).  The serving side only needs
+    #    grid generation + the native marching cubes — no model code —
+    #    so a deployment can mesh the served subject (/mesh over HTTP).
+    has_mesh = bool(
+        mesh_chunk
+        and isinstance(model, _MPSNeRF)
+        and "vertices" in tp_plain
+    )
+    if has_mesh:
+        from mpsnerf_tpu.geometry.extract import (
+            DIST_THRESHOLD_SQ, INTERIOR_FILL,
+        )
+        from mpsnerf_tpu.ops.composite import shifted_softplus
+        from mpsnerf_tpu.ops.knn import knn_points, nearest_vertex
+        from mpsnerf_tpu.smpl.mesh import vertex_normals
+
+        model_mesh = (
+            model.clone(compact_fraction=None)
+            if model.compact_fraction is not None else model
+        )
+
+        def mesh_occupancy(variables, smpl_arrays, sp, tp, latent, pts):
+            smpl = SMPLModel(parents=parents, **smpl_arrays)
+            sp_ = {k: (sp_types[k](**v) if k in sp_types else v)
+                   for k, v in sp.items()}
+            tp_ = {k: (tp_types[k](**v) if k in tp_types else v)
+                   for k, v in tp.items()}
+            raw = model_mesh.apply(
+                variables, smpl, sp_, tp_, latent, pts,
+                jnp.zeros_like(pts), train=False, mode="full",
+                method="query",
+            )
+            occ = shifted_softplus(raw.sigma)
+            # SMPL-distance carve + interior fill (extract.py:109-127):
+            # zero occupancy beyond 5 cm of the posed body, solid-fill
+            # points behind the surface (K=5 mean-normal sidedness)
+            verts = tp_["vertices"]
+            d2, _ = nearest_vertex(pts, verts)
+            near = d2 < DIST_THRESHOLD_SQ
+            normals = vertex_normals(verts, smpl_arrays["faces"])
+            _, ids5 = knn_points(pts, verts, k=5)
+            mean_pos = jnp.mean(verts[ids5], axis=1)
+            mean_nrm = jnp.mean(normals[ids5], axis=1)
+            pts_dir = pts - mean_pos
+            pts_dir = pts_dir / (
+                jnp.linalg.norm(pts_dir, axis=-1, keepdims=True) + 1e-12
+            )
+            outside = jnp.sum(pts_dir * mean_nrm, axis=-1) > 0
+            return jnp.where(
+                near, occ,
+                jnp.where(outside, jnp.zeros_like(occ), INTERIOR_FILL),
+            )
+
+        exp_m = jax.export.export(jax.jit(mesh_occupancy), **kw)(
+            variables, smpl_arrays, sp_plain, tp_plain, latent,
+            jnp.zeros((mesh_chunk, 3), jnp.float32),
+        )
+        with open(os.path.join(out_dir, _MESH), "wb") as f:
+            f.write(exp_m.serialize())
+
     # -- weights: flatten the nested variables dict
     from flax.traverse_util import flatten_dict
 
@@ -484,6 +551,8 @@ def export_serving_bundle(
         "has_nc": has_nc,
         "has_global": has_global,
         "global": global_meta,
+        "has_mesh": has_mesh,
+        "mesh_chunk": mesh_chunk if has_mesh else 0,
         "shard_devices": shard_devices,
         "shard_rays": shard_rays,
         "ray_axis": "ray",
@@ -549,6 +618,10 @@ class ServedRenderer:
             self._render_g = _load(_RENDER_GLOBAL)
             self.serve_rays = int(m["global"]["serve_rays"])
         self.n_global_fallbacks = 0
+        self._has_mesh = bool(m.get("has_mesh"))
+        if self._has_mesh:
+            self._mesh = _load(_MESH)
+            self.mesh_chunk = int(m["mesh_chunk"])
 
         from flax.traverse_util import unflatten_dict
 
@@ -855,6 +928,61 @@ class ServedRenderer:
             )
             frames.append(rgb.reshape(H, W, 3))
         return np.stack(frames, axis=0)
+
+    def extract_mesh(self, sp_item: Dict, tp_item: Dict, n: int = 256,
+                     threshold: float = 30.0, pad: float = 0.1
+                     ) -> Tuple[np.ndarray, np.ndarray]:
+        """Mesh the served subject in the tp pose: dense occupancy grid
+        through the exported density+carve graph, then the native
+        marching-cubes iso-surface (``geometry/extract.py``; ref
+        ``extract_thuman_mesh.py:74-213``, threshold 30).  Returns
+        ``(verts (V, 3) world float32, tris (T, 3) int32)``."""
+        import jax.numpy as jnp
+
+        from mpsnerf_tpu.geometry.extract import GridSpec
+        from mpsnerf_tpu.native import extract_isosurface
+
+        if not self._has_mesh:
+            raise ValueError("bundle was exported without a mesh graph")
+        sp = self._prep(sp_item, "sp")
+        tp = self._prep(tp_item, "tp")
+        gender = int(np.asarray(sp_item["gender"]))
+        if gender not in self._smpl:
+            raise ValueError(
+                f"item gender {gender} not in bundle "
+                f"(has {sorted(self._smpl)})"
+            )
+        smpl = self._smpl[gender]
+
+        grid = GridSpec.from_vertices(
+            np.asarray(tp_item["vertices"], np.float32), n=n, pad=pad
+        )
+        pts = grid.points()
+        n_pts = len(pts)
+        step = self.mesh_chunk
+        n_pad = ((n_pts + step - 1) // step) * step
+        if n_pad != n_pts:
+            # far-away pad: zero occupancy, sliced off below
+            pts = np.concatenate(
+                [pts, np.full((n_pad - n_pts, 3), 1e6, np.float32)]
+            )
+        with self._lock:
+            latent = self._latent_for(sp_item, sp)
+            pending = [
+                self._mesh.call(
+                    self.variables, smpl, sp, tp, latent,
+                    jnp.asarray(pts[i:i + step]),
+                )
+                for i in range(0, n_pad, step)
+            ]
+            occ = np.concatenate(
+                [np.asarray(o) for o in pending]
+            )[:n_pts]
+        grid_verts, tris = extract_isosurface(
+            occ.reshape(grid.n), float(threshold)
+        )
+        verts = grid.to_world(grid_verts).astype(np.float32)
+        return verts, tris[:, ::-1].copy()  # orientation flip (ref :188)
 
     def render_view(self, sp_item: Dict, tp_item: Dict, k: int,
                     ray_mask: Optional[np.ndarray] = None,

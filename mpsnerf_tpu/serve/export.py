@@ -62,6 +62,11 @@ def main(argv=None):
         help="capacity headroom over the probed per-view candidate "
              "counts; overflowing requests fall back to the chunked graph",
     )
+    parser.add_argument(
+        "--serve_mesh_chunk", type=int, default=262144,
+        help="point-chunk of the exported mesh occupancy graph "
+             "(/mesh route); 0 disables mesh extraction",
+    )
     args = parse_args(argv, parser=parser)
 
     import jax
@@ -130,6 +135,7 @@ def main(argv=None):
         shard_devices=args.shard_devices,
         global_compact=bool(args.serve_global),
         serve_tile=args.serve_tile, serve_headroom=args.serve_headroom,
+        mesh_chunk=args.serve_mesh_chunk,
     )
     sizes = {
         f: os.path.getsize(os.path.join(out_dir, f))

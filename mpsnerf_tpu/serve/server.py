@@ -25,6 +25,11 @@ Wire protocol (binary, numpy-native — no JSON round-trip for tensors):
                               around the subject; ``.npy`` (N, H, W, 3).
                               Optional ``&h=``/``&w=`` override the
                               bundle's native resolution.
+    POST /mesh?n=256       -> mesh the subject in the tp pose (density
+                              grid + SMPL carve + native marching
+                              cubes); response ``.npz`` with ``verts``
+                              (V, 3) world float32 and ``tris`` (T, 3).
+                              ``&threshold=`` overrides the iso level.
 
 Device work is single-flighted inside :class:`ServedRenderer`; the
 threaded server keeps request parsing and response IO off the render
@@ -151,7 +156,8 @@ class BundleServer:
 
             def do_POST(self):  # noqa: N802
                 url = urlparse(self.path)
-                if url.path not in ("/render", "/camera", "/spiral"):
+                if url.path not in ("/render", "/camera", "/spiral",
+                                    "/mesh"):
                     self._json(404, {"error": f"no route {url.path!r}"})
                     return
                 try:
@@ -179,6 +185,19 @@ class BundleServer:
                             sp, tp, cam["K"], cam["R"], cam["T"], h, w,
                             sharded=sharded, use_global=use_global,
                         )
+                    elif url.path == "/mesh":
+                        verts, tris = r.extract_mesh(
+                            sp, tp,
+                            n=int(q.get("n", ["256"])[0]),
+                            threshold=float(
+                                q.get("threshold", ["30.0"])[0]
+                            ),
+                        )
+                        buf = io.BytesIO()
+                        np.savez(buf, verts=verts, tris=tris)
+                        self._send(200, buf.getvalue(),
+                                   "application/octet-stream")
+                        return
                     else:  # /spiral
                         frames = int(q.get("frames", ["40"])[0])
                         hw = None

@@ -20,12 +20,21 @@ import pytest
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SCRIPT = os.path.join(REPO, "tools", "round4_measure.sh")
 
+with open(SCRIPT) as _f:
+    # the batch grows as probes are added; count stages instead of
+    # hardcoding (a stale count made this suite fail when the serve
+    # probe landed)
+    N_STAGES = sum(
+        line.startswith("run_stage ") for line in _f.read().splitlines()
+    )
+
 
 def _write_stub(tmp_path, body: str) -> str:
     """A fake ``python`` whose behavior depends on the attempt count."""
     stub = tmp_path / "fakepython"
     stub.write_text(
         "#!/bin/bash\n"
+        f"MARK_DIR={tmp_path}\n"
         f"COUNT_FILE={tmp_path}/attempts\n"
         "N=$(cat $COUNT_FILE 2>/dev/null || echo 0)\n"
         "N=$((N+1)); echo $N > $COUNT_FILE\n" + body
@@ -45,6 +54,7 @@ def _run(stub: str, tmp_path, retry_hours="1", extra_env=None):
         MPSNERF_MEASURE_RETRY_SLEEP="0.2",
         MPSNERF_MEASURE_WEDGE_POLL_N="10",
         MPSNERF_MEASURE_LIVENESS_ONLY="1",
+        MPSNERF_MEASURE_MARK_DIR=str(tmp_path),
     )
     env.update(extra_env or {})
     return subprocess.run(
@@ -60,11 +70,11 @@ def test_recovers_from_fast_unavailable(tmp_path):
         'if [ "$N" -lt 3 ]; then\n'
         "  # the real probe's inline python writes the error marker; the\n"
         "  # stub stands in for the whole interpreter, so it writes it\n"
-        '  echo "UNAVAILABLE: TPU backend setup/compile error" > /tmp/r4m_err\n'
+        '  echo "UNAVAILABLE: TPU backend setup/compile error" > $MARK_DIR/r4m_err\n'
         "  exit 1\n"
         "fi\n"
         'echo "alive: 28.0"\n'
-        "touch /tmp/r4m_alive\n"
+        "touch $MARK_DIR/r4m_alive\n"
         "exit 0\n",
     )
     r = _run(stub, tmp_path)
@@ -83,7 +93,7 @@ def test_recovers_from_wedge_style_hang(tmp_path):
         'if [ "$N" -eq 1 ]; then\n'
         "  sleep 2   # wedge: silent, no error file\n"
         '  echo "alive: 28.0"\n'
-        "  touch /tmp/r4m_alive\n"
+        "  touch $MARK_DIR/r4m_alive\n"
         "  exit 0\n"
         "fi\n"
         "sleep 600 &\nexit 0\n",
@@ -114,7 +124,7 @@ def test_gives_up_after_window_without_killing(tmp_path):
 def test_immediate_success_runs_batch_gate(tmp_path):
     stub = _write_stub(
         tmp_path,
-        'echo "alive: 28.0"\ntouch /tmp/r4m_alive\nexit 0\n',
+        'echo "alive: 28.0"\ntouch $MARK_DIR/r4m_alive\nexit 0\n',
     )
     r = _run(stub, tmp_path)
     assert r.returncode == 0, r.stdout + r.stderr
@@ -130,7 +140,7 @@ def test_stage_failure_retries_after_reverified_liveness(tmp_path):
         tmp_path,
         'if [ "$2" = "-c" ]; then\n'
         '  echo "alive: 28.0"\n'
-        "  touch /tmp/r4m_alive\n"
+        "  touch $MARK_DIR/r4m_alive\n"
         "  exit 0\n"
         "fi\n"
         f"S={tmp_path}/stage_attempts\n"
@@ -143,8 +153,8 @@ def test_stage_failure_retries_after_reverified_liveness(tmp_path):
     assert r.returncode == 0, r.stdout + r.stderr
     assert "FAILED (rc=3)" in r.stdout
     assert "=== done ===" in r.stdout
-    # 9 batch stages + 1 retry of the flapped one
-    assert int((tmp_path / "stage_attempts").read_text()) == 10
+    # every batch stage + 1 retry of the flapped one
+    assert int((tmp_path / "stage_attempts").read_text()) == N_STAGES + 1
 
 
 def test_stage_failures_are_reported(tmp_path):
@@ -154,7 +164,7 @@ def test_stage_failures_are_reported(tmp_path):
         tmp_path,
         'if [ "$2" = "-c" ]; then\n'
         '  echo "alive: 28.0"\n'
-        "  touch /tmp/r4m_alive\n"
+        "  touch $MARK_DIR/r4m_alive\n"
         "  exit 0\n"
         "fi\n"
         f"S={tmp_path}/stage_attempts\n"
@@ -166,4 +176,4 @@ def test_stage_failures_are_reported(tmp_path):
     r = _run(stub, tmp_path, extra_env={"MPSNERF_MEASURE_LIVENESS_ONLY": ""})
     assert r.returncode == 1, r.stdout + r.stderr
     assert "done WITH FAILURES" in r.stdout
-    assert int((tmp_path / "stage_attempts").read_text()) == 10
+    assert int((tmp_path / "stage_attempts").read_text()) == N_STAGES + 1

@@ -52,6 +52,7 @@ def bundle(setup, tmp_path_factory):
         out, model, variables, {gender: smpl},
         dict(items[0]), dict(items[0]),
         chunk=CHUNK, n_samples=N_SAMPLES,
+        mesh_chunk=32768,  # test-scale grids; default is 262144
     )
     return out
 
@@ -116,6 +117,7 @@ class TestBundle:
             out, model, variables, {gender: smpl},
             dict(items[0]), dict(items[0]),
             chunk=CHUNK, n_samples=N_SAMPLES, platforms=("tpu", "cpu"),
+            mesh_chunk=0,
         )
         served = load_serving_bundle(out)
         assert served.manifest["platforms"] == ["tpu", "cpu"]
@@ -145,7 +147,7 @@ class TestSharded:
             out, model, variables, {gender: smpl},
             dict(items[0]), dict(items[0]),
             chunk=CHUNK, n_samples=N_SAMPLES,
-            shard_devices=4, shard_rays_per_device=256,
+            shard_devices=4, shard_rays_per_device=256, mesh_chunk=0,
         )
         return out
 
@@ -320,7 +322,7 @@ class TestGlobalServe:
             out, model, variables, {gender: smpl},
             dict(items[0]), dict(items[0]),
             chunk=CHUNK, n_samples=N_SAMPLES,
-            serve_tile=512, serve_headroom=0.05,
+            serve_tile=512, serve_headroom=0.05, mesh_chunk=0,
         )
         return out
 
@@ -346,6 +348,7 @@ class TestGlobalServe:
             out, model, variables, {gender: smpl},
             dict(items[0]), dict(items[0]),
             chunk=CHUNK, n_samples=N_SAMPLES, global_compact=False,
+            mesh_chunk=0,
         )
         assert not os.path.exists(out + "/render_global.bin")
         served = load_serving_bundle(out)
@@ -379,3 +382,84 @@ class TestGlobalServe:
             assert b'"has_global": true' in health
         finally:
             srv.stop()
+
+
+class TestMeshServe:
+    """Mesh extraction from a served bundle (/mesh): the exported
+    density+carve graph + host marching cubes reproduces the live
+    ``geometry/extract.py`` pipeline with no model code server-side."""
+
+    def test_mesh_matches_live_pipeline(self, setup, bundle):
+        from mpsnerf_tpu.data import attach_body_grid
+        from mpsnerf_tpu.geometry import GridSpec, extract_density_mesh
+
+        ds, items, smpl, model, variables = setup
+        served = load_serving_bundle(bundle)
+        assert served.manifest["has_mesh"]
+        item = dict(items[0])
+        sv, st = served.extract_mesh(dict(item), dict(item), n=24)
+        assert len(sv) > 0  # interior fill guarantees a closed surface
+        assert st.min() >= 0 and st.max() < len(sv)
+
+        # live reference: same grid through the in-process pipeline
+        attach_body_grid(item)
+        inp = to_device_input(
+            {k: v for k, v in item.items() if not k.startswith("_")}
+        )
+        latent = model.apply(variables, inp["img_all"], train=False,
+                             method="encode")
+        model_nc = (model.clone(compact_fraction=None)
+                    if model.compact_fraction is not None else model)
+
+        @jax.jit
+        def dens(pts):
+            raw = model_nc.apply(
+                variables, smpl, inp, inp, latent, pts,
+                jnp.zeros_like(pts), train=False, mode="full",
+                method="query",
+            )
+            return raw.sigma
+
+        grid = GridSpec.from_vertices(
+            np.asarray(item["vertices"], np.float32), n=24
+        )
+        lv, lt = extract_density_mesh(
+            dens, grid, np.asarray(item["vertices"]),
+            np.asarray(smpl.faces),
+        )
+        assert st.shape == lt.shape
+        np.testing.assert_array_equal(st, lt)
+        np.testing.assert_allclose(sv, lv, atol=1e-4)
+
+    def test_mesh_over_http(self, setup, bundle):
+        import io
+
+        ds, items, smpl, model, variables = setup
+        srv = BundleServer(load_serving_bundle(bundle)).start()
+        try:
+            host, port = srv.address
+            body = items_to_npz_bytes(items[0], items[0])
+            req = urllib.request.Request(
+                f"http://{host}:{port}/mesh?n=16", data=body,
+                method="POST",
+            )
+            with urllib.request.urlopen(req) as r:
+                z = np.load(io.BytesIO(r.read()))
+            assert z["verts"].shape[1] == 3 and z["tris"].shape[1] == 3
+        finally:
+            srv.stop()
+
+    def test_mesh_off_export(self, setup, tmp_path_factory):
+        ds, items, smpl, model, variables = setup
+        out = str(tmp_path_factory.mktemp("nomesh"))
+        gender = int(np.asarray(items[0]["gender"]))
+        export_serving_bundle(
+            out, model, variables, {gender: smpl},
+            dict(items[0]), dict(items[0]),
+            chunk=CHUNK, n_samples=N_SAMPLES, global_compact=False,
+            mesh_chunk=0,
+        )
+        served = load_serving_bundle(out)
+        assert not served.manifest["has_mesh"]
+        with pytest.raises(ValueError, match="without a mesh graph"):
+            served.extract_mesh(dict(items[0]), dict(items[0]), n=8)

@@ -28,42 +28,45 @@ POLL_N="${MPSNERF_MEASURE_POLL_N:-60}"       # polls per probe (~5 min)
 RETRY_SLEEP="${MPSNERF_MEASURE_RETRY_SLEEP:-600}"   # after fast error
 WEDGE_POLL_N="${MPSNERF_MEASURE_WEDGE_POLL_N:-240}" # extra wait on hang
 STAGE_TRIES="${MPSNERF_MEASURE_STAGE_TRIES:-2}"     # attempts per stage
+MARK="${MPSNERF_MEASURE_MARK_DIR:-/tmp}"            # probe marker files
+#   (tests isolate markers here so a LIVE measure loop and the pytest
+#    simulation never race on the same /tmp/r4m_* files)
 DEADLINE=$(( $(date +%s) + RETRY_HOURS * 3600 ))
 
 probe_alive() {  # launches one detached probe; returns via marker files
-  rm -f /tmp/r4m_alive /tmp/r4m_err
+  rm -f $MARK/r4m_alive $MARK/r4m_err
   ( $PY -c "
 import sys
 try:
     import numpy as np, jax, jax.numpy as jnp
     print('alive:', np.asarray(jnp.sum(jnp.arange(8.0))))
-    open('/tmp/r4m_alive', 'w').write('1')
+    open('$MARK/r4m_alive', 'w').write('1')
 except Exception as e:
-    open('/tmp/r4m_err', 'w').write(repr(e))
+    open('$MARK/r4m_err', 'w').write(repr(e))
     raise
-" >> /tmp/r4m_probe.log 2>&1 & )
+" >> $MARK/r4m_probe.log 2>&1 & )
 }
 
 wait_alive() {  # blocks until a FRESH probe succeeds or the deadline; rc 0/3
   while [ "$(date +%s)" -lt "$DEADLINE" ]; do
     probe_alive
     for _ in $(seq "$POLL_N"); do
-      [ -f /tmp/r4m_alive ] || [ -f /tmp/r4m_err ] && break
+      [ -f $MARK/r4m_alive ] || [ -f $MARK/r4m_err ] && break
       sleep "$POLL_S"
     done
-    if [ -f /tmp/r4m_alive ]; then return 0; fi
-    if [ -f /tmp/r4m_err ]; then
-      echo "$(date -u +%H:%M:%S) device UNAVAILABLE ($(head -c 120 /tmp/r4m_err)); retrying in ${RETRY_SLEEP}s"
+    if [ -f $MARK/r4m_alive ]; then return 0; fi
+    if [ -f $MARK/r4m_err ]; then
+      echo "$(date -u +%H:%M:%S) device UNAVAILABLE ($(head -c 120 $MARK/r4m_err)); retrying in ${RETRY_SLEEP}s"
       sleep "$RETRY_SLEEP"
     else
       # silent hang: likely a wedge — leave the probe pending (it doubles
       # as the claim-waiter) and wait a longer beat before checking again
       echo "$(date -u +%H:%M:%S) probe HANGING (possible wedge) — extended wait, probe left alive"
       for _ in $(seq "$WEDGE_POLL_N"); do
-        [ -f /tmp/r4m_alive ] && break
+        [ -f $MARK/r4m_alive ] && break
         sleep "$POLL_S"
       done
-      [ -f /tmp/r4m_alive ] && return 0
+      [ -f $MARK/r4m_alive ] && return 0
     fi
   done
   return 3

@@ -859,10 +859,12 @@ class ServedRenderer:
         for rgb, nd, sl in pending:
             if int(nd) > 0:
                 self.n_global_fallbacks += 1
+                # the chunk loop pads to ITS OWN multiple — slice back to
+                # the block length (chunk need not divide serve_rays)
                 rgb = self._chunked_rays(
                     smpl, sp, tp, latent,
                     ro[sl], rd[sl], nr[sl], fr[sl],
-                )
+                )[:step]
             outs.append(np.asarray(rgb))
         return np.concatenate(outs, axis=0)
 

@@ -321,7 +321,9 @@ class TestGlobalServe:
         export_serving_bundle(
             out, model, variables, {gender: smpl},
             dict(items[0]), dict(items[0]),
-            chunk=CHUNK, n_samples=N_SAMPLES,
+            # chunk 768 does NOT divide serve_rays=4096: the overflow
+            # fallback's chunk loop pads past the block and must slice
+            chunk=768, n_samples=N_SAMPLES,
             serve_tile=512, serve_headroom=0.05, mesh_chunk=0,
         )
         return out
@@ -330,6 +332,7 @@ class TestGlobalServe:
         ds, items, smpl, model, variables = setup
         served = load_serving_bundle(tight_bundle)
         assert served.manifest["global"]["capacity"] == 512
+        assert served.serve_rays % served.chunk != 0  # the hard case
         a = served.render_view(dict(items[0]), dict(items[0]), 1)
         assert served.n_global_fallbacks >= 1
         b = served.render_view(dict(items[0]), dict(items[0]), 1,

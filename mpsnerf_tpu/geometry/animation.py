@@ -36,7 +36,7 @@ from mpsnerf_tpu.train.trainer import to_device_input
 class MeshAnimationRenderer:
     def __init__(
         self,
-        model: MPSNeRF,
+        model: Optional[MPSNeRF],
         variables,
         smpl: SMPLModel,
         can_verts: np.ndarray,   # (V, 3) canonical mesh vertices
@@ -44,6 +44,16 @@ class MeshAnimationRenderer:
         m_samples: int = 11,
         interval: float = 0.01,
         chunk: int = 200_000,
+        # injectable compute (serving bundles drive this renderer through
+        # exported graphs — serve/bundle.py:ServedRenderer.animate):
+        # query_fn(variables, smpl, sp, latent, pts) ->
+        #   (bweights (N, 24), rgb (N, 3), sigma (N,));
+        # encode_fn(variables, images) -> latent.
+        # With both given, ``model`` may be None and ``mean_shape`` must
+        # be passed explicitly.
+        query_fn=None,
+        encode_fn=None,
+        mean_shape: Optional[bool] = None,
     ):
         self.model = model
         self.variables = variables
@@ -54,30 +64,39 @@ class MeshAnimationRenderer:
         self.interval = interval
         self.chunk = chunk
         self._baked = None
+        self.mean_shape = (
+            bool(model.mean_shape) if mean_shape is None else bool(mean_shape)
+        )
 
-        @jax.jit
-        def query_fn(variables, smpl, sp, latent, pts):
-            raw = model.apply(
-                variables, smpl, sp, sp, latent, pts,
-                jnp.zeros_like(pts), train=False, mode="mesh_animation",
-                method=MPSNeRF.query,
-            )
-            return raw.bweights, raw.rgb, raw.sigma
+        if query_fn is None:
+            @jax.jit
+            def query_fn(variables, smpl, sp, latent, pts):
+                raw = model.apply(
+                    variables, smpl, sp, sp, latent, pts,
+                    jnp.zeros_like(pts), train=False,
+                    mode="mesh_animation", method=MPSNeRF.query,
+                )
+                return raw.bweights, raw.rgb, raw.sigma
 
         self._query = query_fn
 
-        @jax.jit
-        def encode_fn(variables, images):
-            return model.apply(
-                variables, images, train=False, method=MPSNeRF.encode
-            )
+        if encode_fn is None:
+            @jax.jit
+            def encode_fn(variables, images):
+                return model.apply(
+                    variables, images, train=False, method=MPSNeRF.encode
+                )
 
         self._encode = encode_fn
 
     def bake(self, sp_item: Dict) -> None:
         """Query weights / rgb / sigma at the canonical vertices once."""
+        # "_"-prefixed keys are other renderers' private caches (e.g. the
+        # eval ViewRenderer's _device_cache holds nested namedtuples that
+        # to_device_input's flat-dict branch cannot convert)
         sp = to_device_input({k: v for k, v in sp_item.items()
-                              if k != "msk_all"})
+                              if k != "msk_all"
+                              and not k.startswith("_")})
         latent = self._encode(self.variables, sp["img_all"])
         self._latent = latent
         self._sp = sp
@@ -112,7 +131,8 @@ class MeshAnimationRenderer:
         baked = self._baked
 
         tp = to_device_input({k: v for k, v in tp_item.items()
-                              if k != "msk_all"})
+                              if k != "msk_all"
+                              and not k.startswith("_")})
         tf_t = PoseTransforms.create(self.smpl, tp["params"])
 
         # deform canonical mesh to target world space with baked weights
@@ -164,7 +184,7 @@ class MeshAnimationRenderer:
         )
         can_pts = deform_target_to_canonical_with_weights(
             self.smpl, tf_t, smpl_pts, jnp.asarray(w_flat),
-            self.model.mean_shape,
+            self.mean_shape,
         )
         can_pts = np.asarray(can_pts)
 

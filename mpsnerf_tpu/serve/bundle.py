@@ -16,6 +16,9 @@ model:
                          compacted whole-view render — the fast default
     mesh_occupancy.bin   density query + SMPL-distance carve for mesh
                          extraction (/mesh; marching cubes runs on host)
+    mesh_occupancy_can.bin  canonical-frame twin (ref --can_flag)
+    anim_query.bin       mesh-animation bake/query graph (/animate —
+                         blend weights + rgb + sigma at given points)
     encode.bin           jax.export StableHLO: source-image encoder
     weights.npz          trained variables (flattened param dict)
     smpl.npz             SMPL rig arrays per gender
@@ -60,6 +63,8 @@ _PLAN_GLOBAL = "plan_global.bin"
 _FINE_GLOBAL = "fine_global.bin"
 _RENDER_GLOBAL = "render_global.bin"
 _MESH = "mesh_occupancy.bin"
+_MESH_CAN = "mesh_occupancy_can.bin"
+_ANIM = "anim_query.bin"
 _ENCODE = "encode.bin"
 
 # item keys that are host-only (consumed by the protocol loop, never by
@@ -475,44 +480,90 @@ def export_serving_bundle(
             if model.compact_fraction is not None else model
         )
 
-        def mesh_occupancy(variables, smpl_arrays, sp, tp, latent, pts):
-            smpl = SMPLModel(parents=parents, **smpl_arrays)
-            sp_ = {k: (sp_types[k](**v) if k in sp_types else v)
-                   for k, v in sp.items()}
-            tp_ = {k: (tp_types[k](**v) if k in tp_types else v)
-                   for k, v in tp.items()}
-            raw = model_mesh.apply(
-                variables, smpl, sp_, tp_, latent, pts,
-                jnp.zeros_like(pts), train=False, mode="full",
-                method="query",
-            )
-            occ = shifted_softplus(raw.sigma)
-            # SMPL-distance carve + interior fill (extract.py:109-127):
-            # zero occupancy beyond 5 cm of the posed body, solid-fill
-            # points behind the surface (K=5 mean-normal sidedness)
-            verts = tp_["vertices"]
-            d2, _ = nearest_vertex(pts, verts)
-            near = d2 < DIST_THRESHOLD_SQ
-            normals = vertex_normals(verts, smpl_arrays["faces"])
-            _, ids5 = knn_points(pts, verts, k=5)
-            mean_pos = jnp.mean(verts[ids5], axis=1)
-            mean_nrm = jnp.mean(normals[ids5], axis=1)
-            pts_dir = pts - mean_pos
-            pts_dir = pts_dir / (
-                jnp.linalg.norm(pts_dir, axis=-1, keepdims=True) + 1e-12
-            )
-            outside = jnp.sum(pts_dir * mean_nrm, axis=-1) > 0
-            return jnp.where(
-                near, occ,
-                jnp.where(outside, jnp.zeros_like(occ), INTERIOR_FILL),
-            )
+        def make_mesh_occupancy(mode: str, carve_key: str):
+            # mode "full" queries world points against the tp pose;
+            # "extract_mesh" treats points as canonical (skips the warps,
+            # ref extract_thuman_mesh.py --can_flag) and carves against
+            # the canonical big-pose template instead of the posed body
+            def mesh_occupancy(variables, smpl_arrays, sp, tp, latent,
+                               pts):
+                smpl = SMPLModel(parents=parents, **smpl_arrays)
+                sp_ = {k: (sp_types[k](**v) if k in sp_types else v)
+                       for k, v in sp.items()}
+                tp_ = {k: (tp_types[k](**v) if k in tp_types else v)
+                       for k, v in tp.items()}
+                raw = model_mesh.apply(
+                    variables, smpl, sp_, tp_, latent, pts,
+                    jnp.zeros_like(pts), train=False, mode=mode,
+                    method="query",
+                )
+                occ = shifted_softplus(raw.sigma)
+                # SMPL-distance carve + interior fill
+                # (extract.py:109-127): zero occupancy beyond 5 cm of
+                # the body, solid-fill points behind the surface (K=5
+                # mean-normal sidedness)
+                verts = tp_[carve_key]
+                d2, _ = nearest_vertex(pts, verts)
+                near = d2 < DIST_THRESHOLD_SQ
+                normals = vertex_normals(verts, smpl_arrays["faces"])
+                _, ids5 = knn_points(pts, verts, k=5)
+                mean_pos = jnp.mean(verts[ids5], axis=1)
+                mean_nrm = jnp.mean(normals[ids5], axis=1)
+                pts_dir = pts - mean_pos
+                pts_dir = pts_dir / (
+                    jnp.linalg.norm(pts_dir, axis=-1, keepdims=True)
+                    + 1e-12
+                )
+                outside = jnp.sum(pts_dir * mean_nrm, axis=-1) > 0
+                return jnp.where(
+                    near, occ,
+                    jnp.where(outside, jnp.zeros_like(occ),
+                              INTERIOR_FILL),
+                )
 
-        exp_m = jax.export.export(jax.jit(mesh_occupancy), **kw)(
+            return mesh_occupancy
+
+        mesh_args = (
             variables, smpl_arrays, sp_plain, tp_plain, latent,
             jnp.zeros((mesh_chunk, 3), jnp.float32),
         )
+        exp_m = jax.export.export(
+            jax.jit(make_mesh_occupancy("full", "vertices")), **kw
+        )(*mesh_args)
         with open(os.path.join(out_dir, _MESH), "wb") as f:
             f.write(exp_m.serialize())
+
+    # canonical-frame twin + the mesh-animation query: together they let
+    # a served deployment run the reference's fast animation pipeline
+    # (lib/mesh_animation_renderer.py; ours geometry/animation.py) with
+    # no model code — bake at canonical mesh verts, then per pose only
+    # LBS + the host rasterizer + this query graph
+    has_anim = bool(has_mesh and "t_vertices" in tp_plain)
+    if has_anim:
+        exp_mc = jax.export.export(
+            jax.jit(make_mesh_occupancy("extract_mesh", "t_vertices")),
+            **kw,
+        )(*mesh_args)
+        with open(os.path.join(out_dir, _MESH_CAN), "wb") as f:
+            f.write(exp_mc.serialize())
+
+        def anim_query(variables, smpl_arrays, sp, latent, pts):
+            smpl = SMPLModel(parents=parents, **smpl_arrays)
+            sp_ = {k: (sp_types[k](**v) if k in sp_types else v)
+                   for k, v in sp.items()}
+            raw = model_mesh.apply(
+                variables, smpl, sp_, sp_, latent, pts,
+                jnp.zeros_like(pts), train=False,
+                mode="mesh_animation", method="query",
+            )
+            return raw.bweights, raw.rgb, raw.sigma
+
+        exp_a = jax.export.export(jax.jit(anim_query), **kw)(
+            variables, smpl_arrays, sp_plain, latent,
+            jnp.zeros((mesh_chunk, 3), jnp.float32),
+        )
+        with open(os.path.join(out_dir, _ANIM), "wb") as f:
+            f.write(exp_a.serialize())
 
     # -- weights: flatten the nested variables dict
     from flax.traverse_util import flatten_dict
@@ -553,6 +604,8 @@ def export_serving_bundle(
         "global": global_meta,
         "has_mesh": has_mesh,
         "mesh_chunk": mesh_chunk if has_mesh else 0,
+        "has_anim": has_anim,
+        "mean_shape": bool(getattr(model, "mean_shape", False)),
         "shard_devices": shard_devices,
         "shard_rays": shard_rays,
         "ray_axis": "ray",
@@ -622,6 +675,10 @@ class ServedRenderer:
         if self._has_mesh:
             self._mesh = _load(_MESH)
             self.mesh_chunk = int(m["mesh_chunk"])
+        self._has_anim = bool(m.get("has_anim"))
+        if self._has_anim:
+            self._mesh_can = _load(_MESH_CAN)
+            self._anim = _load(_ANIM)
 
         from flax.traverse_util import unflatten_dict
 
@@ -932,13 +989,16 @@ class ServedRenderer:
         return np.stack(frames, axis=0)
 
     def extract_mesh(self, sp_item: Dict, tp_item: Dict, n: int = 256,
-                     threshold: float = 30.0, pad: float = 0.1
+                     threshold: float = 30.0, pad: float = 0.1,
+                     canonical: bool = False
                      ) -> Tuple[np.ndarray, np.ndarray]:
-        """Mesh the served subject in the tp pose: dense occupancy grid
-        through the exported density+carve graph, then the native
-        marching-cubes iso-surface (``geometry/extract.py``; ref
-        ``extract_thuman_mesh.py:74-213``, threshold 30).  Returns
-        ``(verts (V, 3) world float32, tris (T, 3) int32)``."""
+        """Mesh the served subject: dense occupancy grid through the
+        exported density+carve graph, then the native marching-cubes
+        iso-surface (``geometry/extract.py``; ref
+        ``extract_thuman_mesh.py:74-213``, threshold 30).
+        ``canonical=True`` meshes the canonical big-pose frame instead
+        of the tp world pose (ref ``--can_flag``).  Returns
+        ``(verts (V, 3) float32, tris (T, 3) int32)``."""
         import jax.numpy as jnp
 
         from mpsnerf_tpu.geometry.extract import GridSpec
@@ -946,6 +1006,10 @@ class ServedRenderer:
 
         if not self._has_mesh:
             raise ValueError("bundle was exported without a mesh graph")
+        if canonical and not self._has_anim:
+            raise ValueError(
+                "bundle was exported without the canonical mesh graph"
+            )
         sp = self._prep(sp_item, "sp")
         tp = self._prep(tp_item, "tp")
         gender = int(np.asarray(sp_item["gender"]))
@@ -956,8 +1020,13 @@ class ServedRenderer:
             )
         smpl = self._smpl[gender]
 
+        mesh_graph = self._mesh_can if canonical else self._mesh
         grid = GridSpec.from_vertices(
-            np.asarray(tp_item["vertices"], np.float32), n=n, pad=pad
+            np.asarray(
+                tp_item["t_vertices" if canonical else "vertices"],
+                np.float32,
+            ),
+            n=n, pad=pad,
         )
         pts = grid.points()
         n_pts = len(pts)
@@ -971,7 +1040,7 @@ class ServedRenderer:
         with self._lock:
             latent = self._latent_for(sp_item, sp)
             pending = [
-                self._mesh.call(
+                mesh_graph.call(
                     self.variables, smpl, sp, tp, latent,
                     jnp.asarray(pts[i:i + step]),
                 )
@@ -985,6 +1054,84 @@ class ServedRenderer:
         )
         verts = grid.to_world(grid_verts).astype(np.float32)
         return verts, tris[:, ::-1].copy()  # orientation flip (ref :188)
+
+    def animate(self, sp_item: Dict, tp_item: Dict, view_index: int = 0,
+                height: int = 512, width: int = 512,
+                can_verts: Optional[np.ndarray] = None,
+                tris: Optional[np.ndarray] = None,
+                mesh_n: int = 128, fast: bool = False,
+                m_samples: int = 11, interval: float = 0.01
+                ) -> np.ndarray:
+        """Mesh-anchored fast animation from the served bundle (the
+        reference's ``lib/mesh_animation_renderer.py`` flow; ours
+        ``geometry/animation.py``): bake blend-weights/rgb/sigma at the
+        canonical mesh once, then LBS-deform to the ``tp_item`` pose,
+        rasterize (native C++), and composite M samples around each hit.
+        ``can_verts``/``tris`` supply a previously extracted canonical
+        mesh; omitted, one is extracted here at ``mesh_n``.  Returns
+        (height, width, 3) float32."""
+        from mpsnerf_tpu.geometry.animation import MeshAnimationRenderer
+        from mpsnerf_tpu.smpl.model import SMPLModel
+
+        if not self._has_anim:
+            raise ValueError(
+                "bundle was exported without the animation graphs"
+            )
+        if can_verts is None or tris is None:
+            can_verts, tris = self.extract_mesh(
+                sp_item, tp_item, n=mesh_n, canonical=True
+            )
+        m = self.manifest
+        gender = int(np.asarray(sp_item["gender"]))
+        smpl = SMPLModel(
+            parents=tuple(m["smpl_parents"]),
+            **self._smpl[gender],
+        )
+        sp_plain = self._prep(sp_item, "sp")
+        fields = m["smpl_fields"]
+        step = self.mesh_chunk
+
+        def query_fn(variables, smpl_, sp_, latent, pts):
+            # sp_ is the renderer's own device dict of the SAME item —
+            # the exported signature wants the schema-validated flat
+            # dict, so the prepped one is used instead
+            import jax.numpy as jnp
+
+            smpl_arrays = {f: getattr(smpl_, f) for f in fields}
+            pts = np.asarray(pts, np.float32)
+            k = pts.shape[0]
+            if k < step:
+                pts = np.concatenate(
+                    [pts, np.full((step - k, 3), 1e6, np.float32)]
+                )
+            bw, rgb, sig = self._anim.call(
+                self.variables, smpl_arrays, sp_plain, latent,
+                jnp.asarray(pts),
+            )
+            return bw[:k], rgb[:k], sig[:k]
+
+        def encode_fn(variables, images):
+            return self._encode.call(self.variables, images)
+
+        renderer = MeshAnimationRenderer(
+            None, None, smpl, can_verts, tris,
+            m_samples=m_samples, interval=interval, chunk=step,
+            query_fn=query_fn, encode_fn=encode_fn,
+            mean_shape=m["mean_shape"],
+        )
+        def slim(item):
+            # the renderer device-puts its inputs wholesale; strip the
+            # host-only ray/rgb stacks (huge) and private caches first
+            return {
+                k: v for k, v in item.items()
+                if k not in _HOST_ONLY and not k.startswith("_")
+            }
+
+        with self._lock:
+            renderer.bake(slim(sp_item))
+            return renderer.render_pose(
+                slim(tp_item), view_index, height, width, fast=fast
+            )
 
     def render_view(self, sp_item: Dict, tp_item: Dict, k: int,
                     ray_mask: Optional[np.ndarray] = None,

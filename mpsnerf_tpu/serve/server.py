@@ -30,6 +30,13 @@ Wire protocol (binary, numpy-native — no JSON round-trip for tensors):
                               cubes); response ``.npz`` with ``verts``
                               (V, 3) world float32 and ``tris`` (T, 3).
                               ``&threshold=`` overrides the iso level.
+    POST /animate?view=K   -> mesh-anchored fast animation of the tp
+                              pose (bake + LBS + rasterize + M-sample
+                              composite); ``.npy`` (H, W, 3).  Optional
+                              body keys ``mesh.verts``/``mesh.tris``
+                              supply a previously extracted canonical
+                              mesh; ``&fast=1`` skips the ray sampling
+                              (direct baked-rgb interpolation).
 
 Device work is single-flighted inside :class:`ServedRenderer`; the
 threaded server keeps request parsing and response IO off the render
@@ -56,14 +63,20 @@ __all__ = ["items_to_npz_bytes", "npz_bytes_to_items", "BundleServer"]
 
 def items_to_npz_bytes(sp_item: Dict, tp_item: Dict,
                        ray_mask: Optional[np.ndarray] = None,
-                       camera: Optional[Dict] = None) -> bytes:
+                       camera: Optional[Dict] = None,
+                       mesh: Optional[Dict] = None) -> bytes:
     """Client-side encoder: two item dicts -> one ``.npz`` request body.
 
-    ``camera`` is a {"K", "R", "T"} dict for the ``/camera`` route."""
+    ``camera`` is a {"K", "R", "T"} dict for the ``/camera`` route;
+    ``mesh`` a {"verts", "tris"} dict giving ``/animate`` a previously
+    extracted canonical mesh (skips the server-side extraction)."""
     flat = {}
     if camera:
         for k, v in camera.items():
             flat[f"camera.{k}"] = np.asarray(v)
+    if mesh:
+        for k, v in mesh.items():
+            flat[f"mesh.{k}"] = np.asarray(v)
     for side, item in (("sp", sp_item), ("tp", tp_item)):
         for k, v in item.items():
             if k.startswith("_"):
@@ -84,10 +97,12 @@ def items_to_npz_bytes(sp_item: Dict, tp_item: Dict,
 
 def npz_bytes_to_items(
     body: bytes,
-) -> Tuple[Dict, Dict, Optional[np.ndarray], Dict[str, np.ndarray]]:
+) -> Tuple[Dict, Dict, Optional[np.ndarray], Dict[str, np.ndarray],
+           Dict[str, np.ndarray]]:
     """Server-side decoder: request body ->
-    (sp_item, tp_item, ray_mask, camera)."""
-    items: Dict[str, Dict] = {"sp": {}, "tp": {}, "camera": {}}
+    (sp_item, tp_item, ray_mask, camera, mesh)."""
+    items: Dict[str, Dict] = {"sp": {}, "tp": {}, "camera": {},
+                              "mesh": {}}
     ray_mask = None
     with np.load(io.BytesIO(body)) as z:
         for key in z.files:
@@ -102,7 +117,8 @@ def npz_bytes_to_items(
                 items[side].setdefault(name, {})[parts[2]] = z[key]
             else:
                 items[side][name] = z[key]
-    return items["sp"], items["tp"], ray_mask, items["camera"]
+    return (items["sp"], items["tp"], ray_mask, items["camera"],
+            items["mesh"])
 
 
 class BundleServer:
@@ -157,7 +173,7 @@ class BundleServer:
             def do_POST(self):  # noqa: N802
                 url = urlparse(self.path)
                 if url.path not in ("/render", "/camera", "/spiral",
-                                    "/mesh"):
+                                    "/mesh", "/animate"):
                     self._json(404, {"error": f"no route {url.path!r}"})
                     return
                 try:
@@ -168,7 +184,7 @@ class BundleServer:
                         else None
                     )
                     length = int(self.headers.get("Content-Length", "0"))
-                    sp, tp, mask, cam = npz_bytes_to_items(
+                    sp, tp, mask, cam, mesh = npz_bytes_to_items(
                         self.rfile.read(length)
                     )
                     r = outer.renderer
@@ -184,6 +200,18 @@ class BundleServer:
                         out = r.render_camera(
                             sp, tp, cam["K"], cam["R"], cam["T"], h, w,
                             sharded=sharded, use_global=use_global,
+                        )
+                    elif url.path == "/animate":
+                        native = r.manifest["image_shape"][-2:]
+                        out = r.animate(
+                            sp, tp,
+                            view_index=int(q.get("view", ["0"])[0]),
+                            height=int(q.get("h", [native[0]])[0]),
+                            width=int(q.get("w", [native[1]])[0]),
+                            can_verts=mesh.get("verts"),
+                            tris=mesh.get("tris"),
+                            mesh_n=int(q.get("n", ["128"])[0]),
+                            fast=bool(int(q.get("fast", ["0"])[0])),
                         )
                     elif url.path == "/mesh":
                         verts, tris = r.extract_mesh(

@@ -194,8 +194,8 @@ class TestWireProtocol:
     def test_npz_round_trip(self, setup):
         ds, items, smpl, model, variables = setup
         body = items_to_npz_bytes(items[0], items[1])
-        sp, tp, mask, cam = npz_bytes_to_items(body)
-        assert mask is None and cam == {}
+        sp, tp, mask, cam, mesh = npz_bytes_to_items(body)
+        assert mask is None and cam == {} and mesh == {}
         np.testing.assert_array_equal(sp["vertices"],
                                       np.asarray(items[0]["vertices"]))
         np.testing.assert_array_equal(
@@ -466,3 +466,70 @@ class TestMeshServe:
         assert not served.manifest["has_mesh"]
         with pytest.raises(ValueError, match="without a mesh graph"):
             served.extract_mesh(dict(items[0]), dict(items[0]), n=8)
+
+
+class TestAnimServe:
+    """Mesh-anchored animation from a served bundle (/animate): bake at
+    canonical mesh verts through the exported anim_query graph, LBS +
+    native rasterize + M-sample composite on host — the reference's
+    lib/mesh_animation_renderer.py flow with no model code."""
+
+    def test_animate_matches_live_renderer(self, setup, bundle):
+        """Same client-supplied canonical mesh through the served path
+        and the live MeshAnimationRenderer -> same image."""
+        from scipy.spatial import ConvexHull
+
+        from mpsnerf_tpu.geometry import MeshAnimationRenderer
+
+        ds, items, smpl, model, variables = setup
+        served = load_serving_bundle(bundle)
+        assert served.manifest["has_anim"]
+        tv = np.asarray(items[0]["t_vertices"], np.float32)
+        tris = ConvexHull(tv).simplices.astype(np.int32)
+
+        a = served.animate(dict(items[0]), dict(items[1]), view_index=0,
+                           height=64, width=64, can_verts=tv, tris=tris,
+                           m_samples=5)
+
+        live = MeshAnimationRenderer(model, variables, smpl, tv, tris,
+                                     m_samples=5)
+        live.bake(dict(items[0]))
+        b = live.render_pose(dict(items[1]), 0, 64, 64)
+        assert a.shape == (64, 64, 3) and np.isfinite(a).all()
+        np.testing.assert_allclose(a, b, atol=1e-4)
+
+    def test_animate_extracts_canonical_mesh(self, setup, bundle):
+        """No client mesh: the canonical-frame mesh graph provides one."""
+        ds, items, smpl, model, variables = setup
+        served = load_serving_bundle(bundle)
+        cv, ct = served.extract_mesh(dict(items[0]), dict(items[0]),
+                                     n=16, canonical=True)
+        assert len(cv) > 0
+        img = served.animate(dict(items[0]), dict(items[0]),
+                             view_index=1, height=32, width=32,
+                             mesh_n=16, fast=True)
+        assert img.shape == (32, 32, 3) and np.isfinite(img).all()
+
+    def test_animate_over_http_with_client_mesh(self, setup, bundle):
+        import io
+
+        from scipy.spatial import ConvexHull
+
+        ds, items, smpl, model, variables = setup
+        tv = np.asarray(items[0]["t_vertices"], np.float32)
+        tris = ConvexHull(tv).simplices.astype(np.int32)
+        srv = BundleServer(load_serving_bundle(bundle)).start()
+        try:
+            host, port = srv.address
+            body = items_to_npz_bytes(
+                items[0], items[1], mesh={"verts": tv, "tris": tris}
+            )
+            req = urllib.request.Request(
+                f"http://{host}:{port}/animate?view=0&h=32&w=32&fast=1",
+                data=body, method="POST",
+            )
+            with urllib.request.urlopen(req) as r:
+                img = np.load(io.BytesIO(r.read()))
+            assert img.shape == (32, 32, 3) and np.isfinite(img).all()
+        finally:
+            srv.stop()

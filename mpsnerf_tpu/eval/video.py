@@ -42,6 +42,27 @@ def images_to_video(
     return path
 
 
+def frames_to_video_bytes(frames: np.ndarray, fps: int = 3) -> bytes:
+    """(N, H, W, 3) float [0,1] RGB frames -> MJPG ``.avi`` bytes (the
+    serving layer's video response; same codec as
+    :func:`images_to_video`)."""
+    import tempfile
+
+    frames = np.asarray(frames)
+    h, w = frames.shape[1:3]
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "out.avi")
+        writer = cv2.VideoWriter(
+            path, cv2.VideoWriter_fourcc(*"MJPG"), fps, (w, h)
+        )
+        for f in frames:
+            rgb = (np.clip(f, 0.0, 1.0) * 255).astype(np.uint8)
+            writer.write(cv2.cvtColor(rgb, cv2.COLOR_RGB2BGR))
+        writer.release()
+        with open(path, "rb") as fh:
+            return fh.read()
+
+
 def write_sweep_videos(savedir: str, novel_pose_suffix: str = "_03.png",
                        novel_view_prefix: str = "frame0000") -> None:
     """The legacy test()'s video outputs (run_nerf_batch.py:283-296)."""

@@ -24,7 +24,11 @@ Wire protocol (binary, numpy-native — no JSON round-trip for tensors):
     POST /spiral?frames=N  -> free-viewpoint video: N spiral cameras
                               around the subject; ``.npy`` (N, H, W, 3).
                               Optional ``&h=``/``&w=`` override the
-                              bundle's native resolution.
+                              bundle's native resolution;
+                              ``&format=video&fps=3`` returns an encoded
+                              MJPG ``.avi`` instead of raw frames (the
+                              reference's images_to_video workflow,
+                              lib/run_nerf_helpers.py:32-40).
     POST /mesh?n=256       -> mesh the subject in the tp pose (density
                               grid + SMPL carve + native marching
                               cubes); response ``.npz`` with ``verts``
@@ -236,6 +240,16 @@ class BundleServer:
                         out = r.render_spiral(sp, tp, n_frames=frames,
                                               hw=hw, sharded=sharded,
                                               use_global=use_global)
+                        if q.get("format", ["npy"])[0] == "video":
+                            from mpsnerf_tpu.eval.video import (
+                                frames_to_video_bytes,
+                            )
+
+                            body = frames_to_video_bytes(
+                                out, fps=int(q.get("fps", ["3"])[0])
+                            )
+                            self._send(200, body, "video/x-msvideo")
+                            return
                 except (ValueError, KeyError, IndexError) as e:
                     self._json(400, {"error": f"{type(e).__name__}: {e}"})
                     return

@@ -533,3 +533,26 @@ class TestAnimServe:
             assert img.shape == (32, 32, 3) and np.isfinite(img).all()
         finally:
             srv.stop()
+
+
+class TestSpiralVideo:
+    def test_spiral_video_format(self, setup, bundle):
+        """&format=video returns an encoded MJPG avi (RIFF container) —
+        the reference's images_to_video workflow served directly."""
+        ds, items, smpl, model, variables = setup
+        srv = BundleServer(load_serving_bundle(bundle)).start()
+        try:
+            host, port = srv.address
+            body = items_to_npz_bytes(items[0], items[0])
+            req = urllib.request.Request(
+                f"http://{host}:{port}/spiral?frames=2&h=32&w=32"
+                "&format=video&fps=2",
+                data=body, method="POST",
+            )
+            with urllib.request.urlopen(req) as r:
+                assert r.headers["Content-Type"] == "video/x-msvideo"
+                blob = r.read()
+            assert blob[:4] == b"RIFF" and b"AVI " in blob[:16]
+            assert len(blob) > 1000
+        finally:
+            srv.stop()

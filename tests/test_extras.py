@@ -128,3 +128,15 @@ class TestDatasetVariants:
         )
         assert ds.input_view == [0, 4, 12, 16]
         assert _INPUT_VIEWS[4] == [0, 6, 12, 18]  # batch variant differs
+
+
+class TestLivenessWatchdog:
+    def test_first_contact_returns_and_disarms(self):
+        """Happy path: the trivial op completes, the watchdog disarms
+        (a short timeout must NOT fire after return)."""
+        import time
+
+        from mpsnerf_tpu.utils.liveness import first_contact_watchdog
+
+        first_contact_watchdog(timeout_s=1.0)
+        time.sleep(1.3)  # were the event not set, os._exit(3) fires here

@@ -35,6 +35,8 @@ def main():
     from mpsnerf_tpu.utils.compilation_cache import enable_compilation_cache
 
     enable_compilation_cache()
+    from mpsnerf_tpu.utils.liveness import first_contact_watchdog
+    first_contact_watchdog()  # exit 3 instead of stalling the batch
 
     import os
     M = int(os.environ.get("PROBE_M", 12_189_696))  # bench samples (95097 rays x 128)

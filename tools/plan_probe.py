@@ -32,6 +32,8 @@ def main():
     from mpsnerf_tpu.utils.compilation_cache import enable_compilation_cache
 
     enable_compilation_cache()
+    from mpsnerf_tpu.utils.liveness import first_contact_watchdog
+    first_contact_watchdog()  # exit 3 instead of stalling the batch
 
     from mpsnerf_tpu.data import attach_body_grid
     from mpsnerf_tpu.data.synthetic import SyntheticHumanDataset

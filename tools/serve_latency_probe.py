@@ -48,6 +48,8 @@ def main():
     from mpsnerf_tpu.utils.compilation_cache import enable_compilation_cache
 
     enable_compilation_cache()
+    from mpsnerf_tpu.utils.liveness import first_contact_watchdog
+    first_contact_watchdog()  # exit 3 instead of stalling the batch
 
     H = W = int(os.environ.get("MPSNERF_SERVE_PROBE_RES", "512"))
     N_SAMPLES = int(os.environ.get("MPSNERF_SERVE_PROBE_SAMPLES", "128"))

@@ -29,6 +29,8 @@ def main():
     from mpsnerf_tpu.utils.compilation_cache import enable_compilation_cache
 
     enable_compilation_cache()
+    from mpsnerf_tpu.utils.liveness import first_contact_watchdog
+    first_contact_watchdog()  # exit 3 instead of stalling the batch
 
     from mpsnerf_tpu.data.synthetic import SyntheticHumanDataset
     from mpsnerf_tpu.models.mps_nerf import MPSNeRF

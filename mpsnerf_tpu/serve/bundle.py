@@ -696,8 +696,41 @@ class ServedRenderer:
             }
         self._lock = threading.Lock()
         self.n_overflow_chunks = 0
+        # content-keyed device cache: HTTP requests arrive as FRESH
+        # dicts, so the on-item caches never hit across requests and a
+        # steady stream of the same actor re-uploads its arrays and
+        # re-encodes the latent every request (~0.3-1 s each over a
+        # tunneled chip).  Keyed by a hash of the schema arrays' bytes;
+        # bounded LRU because each entry pins device memory.
+        self._content_cache: Dict[str, Dict] = {}
+        self._content_order: List[str] = []
+        self._content_cache_max = int(
+            os.environ.get("MPSNERF_SERVE_ITEM_CACHE", "4")
+        )
+        self._cache_lock = threading.Lock()
+        self.n_cache_hits = 0
 
     # -- request-side schema handling -----------------------------------
+
+    def _item_key(self, item: Dict, side: str) -> str:
+        """Content hash of the schema-relevant raw arrays."""
+        import hashlib
+
+        h = hashlib.sha1(side.encode())
+        for k in sorted(self.manifest[f"{side}_schema"]):
+            v = item.get(k)
+            if v is None:
+                continue
+            pairs = (
+                sorted(dict(zip(v._fields, v)).items())
+                if isinstance(v, tuple) and hasattr(v, "_fields")
+                else sorted(v.items()) if isinstance(v, dict)
+                else [(k, v)]
+            )
+            for kk, vv in pairs:
+                h.update(kk.encode())
+                h.update(np.ascontiguousarray(vv).tobytes())
+        return h.hexdigest()
 
     def _validate(self, plain: Dict, schema: Dict, side: str) -> None:
         missing = sorted(set(schema) - set(plain))
@@ -723,8 +756,20 @@ class ServedRenderer:
 
     def _prep(self, item: Dict, side: str) -> Dict:
         """Raw item dict -> validated plain device dict per the manifest
-        (attaching body_grid / spconv plans exactly as export did)."""
+        (attaching body_grid / spconv plans exactly as export did).
+        Hits the content-keyed device cache when the same arrays were
+        prepped before — a repeat request skips the upload entirely."""
         from mpsnerf_tpu.train.trainer import to_device_input
+
+        key = self._item_key(item, side)
+        with self._cache_lock:
+            entry = self._content_cache.get(key)
+            if entry is not None:
+                self._content_order.remove(key)
+                self._content_order.append(key)
+                self.n_cache_hits += 1
+                item["_serve_entry"] = entry
+                return entry["plain"]
 
         m = self.manifest
         attached = m["attached_tp" if side == "tp" else "attached_sp"]
@@ -742,13 +787,25 @@ class ServedRenderer:
         )
         plain, _ = _split_namedtuples(dev)
         self._validate(plain, schema, side)
+        entry = {"plain": plain, "latent": None}
+        item["_serve_entry"] = entry
+        with self._cache_lock:
+            self._content_cache[key] = entry
+            self._content_order.append(key)
+            while len(self._content_order) > self._content_cache_max:
+                self._content_cache.pop(self._content_order.pop(0), None)
         return plain
 
     def _latent_for(self, sp_item: Dict, sp_plain: Dict):
+        entry = sp_item.get("_serve_entry")
         cached = sp_item.get("_latent_cache")
+        if cached is None and entry is not None:
+            cached = entry.get("latent")
         if cached is None:
             cached = self._encode.call(self.variables, sp_plain["img_all"])
-            sp_item["_latent_cache"] = cached
+        sp_item["_latent_cache"] = cached
+        if entry is not None:
+            entry["latent"] = cached
         return cached
 
     # -- rendering -------------------------------------------------------

@@ -166,6 +166,7 @@ class BundleServer:
                         "overflow_chunks": outer.renderer.n_overflow_chunks,
                         "global_fallbacks":
                             outer.renderer.n_global_fallbacks,
+                        "item_cache_hits": outer.renderer.n_cache_hits,
                         "has_global": outer.renderer.manifest.get(
                             "has_global", False),
                     })

@@ -556,3 +556,46 @@ class TestSpiralVideo:
             assert len(blob) > 1000
         finally:
             srv.stop()
+
+
+class TestContentCache:
+    def test_repeat_request_hits_device_cache(self, setup, bundle):
+        """Two FRESH dicts with the same arrays (the HTTP pattern): the
+        second request skips upload + encode via the content-keyed cache
+        and renders identically."""
+        ds, items, smpl, model, variables = setup
+        served = load_serving_bundle(bundle)
+        a = served.render_view(dict(items[0]), dict(items[0]), 0)
+        hits0 = served.n_cache_hits
+        b = served.render_view(dict(items[0]), dict(items[0]), 0)
+        assert served.n_cache_hits >= hits0 + 2  # sp and tp both hit
+        np.testing.assert_array_equal(a, b)
+
+    def test_changed_arrays_miss(self, setup, bundle):
+        """A different pose must NOT reuse the cached device dict."""
+        ds, items, smpl, model, variables = setup
+        served = load_serving_bundle(bundle)
+        served.render_view(dict(items[0]), dict(items[0]), 0)
+        a = served.render_view(dict(items[0]), dict(items[1]), 0)
+        b = served.render_view(dict(items[0]), dict(items[1]), 0,
+                               use_global=False)
+        np.testing.assert_array_equal(a, b)
+
+    def test_cache_is_bounded(self, setup, bundle):
+        import os as _os
+
+        ds, items, smpl, model, variables = setup
+        served = load_serving_bundle(bundle)
+        assert served._content_cache_max == int(
+            _os.environ.get("MPSNERF_SERVE_ITEM_CACHE", "4")
+        )
+        for i in range(6):
+            it = dict(items[0])
+            it["params"] = dict(it["params"])
+            it["params"]["poses"] = (
+                np.asarray(it["params"]["poses"]) + 1e-4 * (i + 1)
+            )
+            served._prep(it, "tp")
+        assert len(served._content_cache) <= served._content_cache_max
+        assert (len(served._content_order)
+                == len(served._content_cache))

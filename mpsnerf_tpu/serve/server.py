@@ -129,11 +129,14 @@ class BundleServer:
     """Threaded HTTP server wrapping one loaded bundle."""
 
     def __init__(self, bundle: "ServedRenderer | str", host: str = "127.0.0.1",
-                 port: int = 0):
+                 port: int = 0, warmup: bool = False):
         self.renderer = (
             bundle if isinstance(bundle, ServedRenderer)
             else load_serving_bundle(bundle)
         )
+        if warmup:
+            warmed = self.renderer.warmup()
+            print(f"warmed graphs: {', '.join(warmed)}")
         outer = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -289,8 +292,12 @@ def main(argv=None) -> None:
     p.add_argument("--bundle", required=True, help="bundle directory")
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8080)
+    p.add_argument("--warmup", action="store_true",
+                   help="compile the serving graphs before accepting "
+                        "requests (first-request latency -> steady state)")
     args = p.parse_args(argv)
-    srv = BundleServer(args.bundle, args.host, args.port)
+    srv = BundleServer(args.bundle, args.host, args.port,
+                       warmup=args.warmup)
     print(f"serving {args.bundle} on {srv.address[0]}:{srv.address[1]}")
     srv.serve_forever()
 

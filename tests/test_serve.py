@@ -599,3 +599,18 @@ class TestContentCache:
         assert len(served._content_cache) <= served._content_cache_max
         assert (len(served._content_order)
                 == len(served._content_cache))
+
+
+class TestWarmup:
+    def test_warmup_compiles_hot_graphs(self, setup, bundle):
+        """warmup() runs every hot graph on schema-shaped dummies; a
+        real request afterwards renders identically to a cold bundle."""
+        ds, items, smpl, model, variables = setup
+        warm = load_serving_bundle(bundle)
+        warmed = warm.warmup()
+        assert set(warmed) >= {"encode", "render_chunk", "global",
+                               "mesh"}
+        cold = load_serving_bundle(bundle)
+        a = warm.render_view(dict(items[0]), dict(items[0]), 0)
+        b = cold.render_view(dict(items[0]), dict(items[0]), 0)
+        np.testing.assert_array_equal(a, b)

@@ -126,17 +126,35 @@ def npz_bytes_to_items(
 
 
 class BundleServer:
-    """Threaded HTTP server wrapping one loaded bundle."""
+    """Threaded HTTP server wrapping one or many loaded bundles.
 
-    def __init__(self, bundle: "ServedRenderer | str", host: str = "127.0.0.1",
+    A dict maps actor names to bundles: the roster is listed at
+    ``GET /actors`` and every POST route gains an
+    ``/actors/<name>/...`` form.  With a single bundle the unprefixed
+    routes keep working (and also serve the one actor's name)."""
+
+    def __init__(self,
+                 bundle: "ServedRenderer | str | Dict[str, object]",
+                 host: str = "127.0.0.1",
                  port: int = 0, warmup: bool = False):
+        def _load(b):
+            return (b if isinstance(b, ServedRenderer)
+                    else load_serving_bundle(b))
+
+        if isinstance(bundle, dict):
+            self.renderers = {k: _load(v) for k, v in bundle.items()}
+        else:
+            self.renderers = {"default": _load(bundle)}
+        # legacy single-bundle attribute (probes/tests use it); also the
+        # target of the unprefixed routes when there is exactly one
         self.renderer = (
-            bundle if isinstance(bundle, ServedRenderer)
-            else load_serving_bundle(bundle)
+            next(iter(self.renderers.values()))
+            if len(self.renderers) == 1 else None
         )
         if warmup:
-            warmed = self.renderer.warmup()
-            print(f"warmed graphs: {', '.join(warmed)}")
+            for name, r in self.renderers.items():
+                warmed = r.warmup()
+                print(f"warmed {name}: {', '.join(warmed)}")
         outer = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -155,6 +173,25 @@ class BundleServer:
                 self._send(code, json.dumps(obj).encode(),
                            "application/json")
 
+            def _resolve(self, path):
+                """path -> (renderer, route) honoring /actors/<name>/
+                prefixes; raises KeyError with a useful message."""
+                if path.startswith("/actors/"):
+                    rest = path[len("/actors/"):]
+                    name, _, route = rest.partition("/")
+                    if name not in outer.renderers:
+                        raise KeyError(
+                            f"unknown actor {name!r} "
+                            f"(have {sorted(outer.renderers)})"
+                        )
+                    return outer.renderers[name], "/" + route
+                if outer.renderer is None:
+                    raise KeyError(
+                        "multi-actor server: use /actors/<name>"
+                        f"{path} (have {sorted(outer.renderers)})"
+                    )
+                return outer.renderer, path
+
             def do_GET(self):  # noqa: N802
                 path = urlparse(self.path).path
                 if path == "/healthz":
@@ -163,25 +200,58 @@ class BundleServer:
                     self._json(200, {
                         "status": "ok",
                         "backend": jax.default_backend(),
-                        "model_class": outer.renderer.manifest[
-                            "model_class"],
-                        "chunk": outer.renderer.chunk,
-                        "overflow_chunks": outer.renderer.n_overflow_chunks,
-                        "global_fallbacks":
-                            outer.renderer.n_global_fallbacks,
-                        "item_cache_hits": outer.renderer.n_cache_hits,
-                        "has_global": outer.renderer.manifest.get(
-                            "has_global", False),
+                        "actors": {
+                            name: {
+                                "model_class": r.manifest["model_class"],
+                                "chunk": r.chunk,
+                                "overflow_chunks": r.n_overflow_chunks,
+                                "global_fallbacks": r.n_global_fallbacks,
+                                "item_cache_hits": r.n_cache_hits,
+                                "has_global": r.manifest.get(
+                                    "has_global", False),
+                            }
+                            for name, r in outer.renderers.items()
+                        },
+                        # legacy single-bundle fields
+                        **({
+                            "model_class":
+                                outer.renderer.manifest["model_class"],
+                            "chunk": outer.renderer.chunk,
+                            "overflow_chunks":
+                                outer.renderer.n_overflow_chunks,
+                            "global_fallbacks":
+                                outer.renderer.n_global_fallbacks,
+                            "item_cache_hits":
+                                outer.renderer.n_cache_hits,
+                            "has_global": outer.renderer.manifest.get(
+                                "has_global", False),
+                        } if outer.renderer is not None else {}),
                     })
-                elif path == "/manifest":
-                    self._json(200, outer.renderer.manifest)
+                elif path == "/actors":
+                    self._json(200, {
+                        name: r.manifest["model_class"]
+                        for name, r in outer.renderers.items()
+                    })
                 else:
-                    self._json(404, {"error": f"no route {path!r}"})
+                    try:
+                        r, route = self._resolve(path)
+                    except KeyError as e:
+                        self._json(404, {"error": str(e)})
+                        return
+                    if route == "/manifest":
+                        self._json(200, r.manifest)
+                    else:
+                        self._json(404, {"error": f"no route {path!r}"})
 
             def do_POST(self):  # noqa: N802
                 url = urlparse(self.path)
-                if url.path not in ("/render", "/camera", "/spiral",
-                                    "/mesh", "/animate"):
+                try:
+                    r, route = self._resolve(url.path)
+                except KeyError as e:
+                    self._json(404, {"error": str(e)})
+                    return
+                if route not in ("/render", "/camera", "/spiral",
+                                 "/mesh", "/animate"):
                     self._json(404, {"error": f"no route {url.path!r}"})
                     return
                 try:
@@ -195,13 +265,12 @@ class BundleServer:
                     sp, tp, mask, cam, mesh = npz_bytes_to_items(
                         self.rfile.read(length)
                     )
-                    r = outer.renderer
-                    if url.path == "/render":
+                    if route == "/render":
                         view = int(q.get("view", ["0"])[0])
                         out = r.render_view(sp, tp, view, mask,
                                             sharded=sharded,
                                             use_global=use_global)
-                    elif url.path == "/camera":
+                    elif route == "/camera":
                         native = r.manifest["image_shape"][-2:]
                         h = int(q.get("h", [native[0]])[0])
                         w = int(q.get("w", [native[1]])[0])
@@ -209,7 +278,7 @@ class BundleServer:
                             sp, tp, cam["K"], cam["R"], cam["T"], h, w,
                             sharded=sharded, use_global=use_global,
                         )
-                    elif url.path == "/animate":
+                    elif route == "/animate":
                         native = r.manifest["image_shape"][-2:]
                         out = r.animate(
                             sp, tp,
@@ -221,7 +290,7 @@ class BundleServer:
                             mesh_n=int(q.get("n", ["128"])[0]),
                             fast=bool(int(q.get("fast", ["0"])[0])),
                         )
-                    elif url.path == "/mesh":
+                    elif route == "/mesh":
                         verts, tris = r.extract_mesh(
                             sp, tp,
                             n=int(q.get("n", ["256"])[0]),
@@ -288,16 +357,30 @@ class BundleServer:
 def main(argv=None) -> None:
     import argparse
 
+    import os
+
     p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
-    p.add_argument("--bundle", required=True, help="bundle directory")
+    p.add_argument("--bundle", required=True, action="append",
+                   help="bundle directory, optionally 'name=dir'; repeat "
+                        "for a multi-actor roster (/actors/<name>/...)")
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8080)
     p.add_argument("--warmup", action="store_true",
                    help="compile the serving graphs before accepting "
                         "requests (first-request latency -> steady state)")
     args = p.parse_args(argv)
-    srv = BundleServer(args.bundle, args.host, args.port,
-                       warmup=args.warmup)
+    if len(args.bundle) == 1 and "=" not in args.bundle[0]:
+        bundles = args.bundle[0]
+    else:
+        bundles = {}
+        for spec in args.bundle:
+            name, eq, path = spec.partition("=")
+            if not eq:
+                name, path = (
+                    os.path.basename(os.path.normpath(spec)), spec
+                )
+            bundles[name] = path
+    srv = BundleServer(bundles, args.host, args.port, warmup=args.warmup)
     print(f"serving {args.bundle} on {srv.address[0]}:{srv.address[1]}")
     srv.serve_forever()
 

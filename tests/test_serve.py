@@ -614,3 +614,73 @@ class TestWarmup:
         a = warm.render_view(dict(items[0]), dict(items[0]), 0)
         b = cold.render_view(dict(items[0]), dict(items[0]), 0)
         np.testing.assert_array_equal(a, b)
+
+
+class TestMultiActor:
+    def test_roster_routes(self, setup, bundle, tmp_path_factory):
+        """Two actors behind one server: /actors lists them, prefixed
+        routes render each, unprefixed routes 404 with a hint."""
+        import io
+        import json as _json
+
+        ds, items, smpl, model, variables = setup
+        srv = BundleServer(
+            {"a1": load_serving_bundle(bundle), "a2": bundle}
+        ).start()
+        try:
+            host, port = srv.address
+            base = f"http://{host}:{port}"
+            with urllib.request.urlopen(f"{base}/actors") as r:
+                roster = _json.loads(r.read())
+            assert sorted(roster) == ["a1", "a2"]
+
+            body = items_to_npz_bytes(items[0], items[0])
+            req = urllib.request.Request(
+                f"{base}/actors/a2/render?view=0", data=body,
+                method="POST",
+            )
+            with urllib.request.urlopen(req) as r:
+                rgb = np.load(io.BytesIO(r.read()))
+            assert rgb.shape[1] == 3
+
+            req = urllib.request.Request(
+                f"{base}/render?view=0", data=body, method="POST"
+            )
+            with pytest.raises(urllib.error.HTTPError) as ei:
+                urllib.request.urlopen(req)
+            assert ei.value.code == 404
+
+            with urllib.request.urlopen(f"{base}/healthz") as r:
+                h = _json.loads(r.read())
+            assert set(h["actors"]) == {"a1", "a2"}
+            with urllib.request.urlopen(
+                f"{base}/actors/a1/manifest"
+            ) as r:
+                assert b'"chunk"' in r.read()
+        finally:
+            srv.stop()
+
+    def test_single_bundle_keeps_legacy_and_prefixed_routes(
+        self, setup, bundle
+    ):
+        import io
+
+        ds, items, smpl, model, variables = setup
+        srv = BundleServer(load_serving_bundle(bundle)).start()
+        try:
+            host, port = srv.address
+            body = items_to_npz_bytes(items[0], items[0])
+
+            def post(url):
+                req = urllib.request.Request(url, data=body,
+                                             method="POST")
+                with urllib.request.urlopen(req) as r:
+                    return np.load(io.BytesIO(r.read()))
+
+            a = post(f"http://{host}:{port}/render?view=0")
+            b = post(
+                f"http://{host}:{port}/actors/default/render?view=0"
+            )
+            np.testing.assert_array_equal(a, b)
+        finally:
+            srv.stop()

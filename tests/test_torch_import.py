@@ -179,3 +179,59 @@ class TestConversion:
         )
         with pytest.raises(ValueError):
             load_reference_checkpoint(str(tar), variables)
+
+
+class TestImportedCheckpointServes:
+    def test_torch_tar_to_serving_bundle(self, tmp_path):
+        """The reference-user migration path end-to-end: a torch ``.tar``
+        checkpoint (SKinningBatch key names) -> importer -> AOT serving
+        bundle -> served render == live render on the same weights."""
+        from mpsnerf_tpu.eval.runner import ViewRenderer
+        from mpsnerf_tpu.serve import (
+            export_serving_bundle, load_serving_bundle,
+        )
+
+        rng = np.random.default_rng(7)
+        sd = _synth_reference_state_dict(rng)
+        tar = tmp_path / "020000.tar"
+        torch.save({"global_step": 20000, "network_fn_state_dict": sd},
+                   tar)
+
+        ds = SyntheticHumanDataset(
+            n_poses=1, n_cameras=4, image_size=64, n_rays=16,
+            n_verts=300, num_instances=1, split="test",
+        )
+        item = ds.get_item(0, instance_idx=0)
+        smpl = ds.smpl_for(0)
+        model = MPSNeRF(
+            num_instances=1, correction_field=True, skinning_field=True,
+        )
+        from mpsnerf_tpu.data import attach_spconv_plan
+
+        attach_spconv_plan(item)
+        inp = to_device_input(item)
+        variables = model.init(
+            {"params": jax.random.PRNGKey(0)}, smpl, inp, inp,
+            jnp.zeros((8, 3)), jnp.zeros((8, 3)), train=False,
+        )
+        new_vars, step, report = load_reference_checkpoint(
+            str(tar), variables
+        )
+        assert step == 20000 and not report["skipped"]
+
+        out = str(tmp_path / "bundle")
+        gender = int(np.asarray(item["gender"]))
+        export_serving_bundle(
+            out, model, new_vars, {gender: smpl},
+            dict(item), dict(item), chunk=256, n_samples=8,
+            global_compact=False, mesh_chunk=0,
+        )
+        served = load_serving_bundle(out)
+        a = served.render_view(dict(item), dict(item), 0)
+
+        live = ViewRenderer(
+            model, lambda g: smpl, chunk=256, n_samples=8,
+            shuffle_rays=False, global_compact=False,
+        )
+        b = live.render_view(new_vars, item, item, 0)
+        np.testing.assert_allclose(a, np.asarray(b), atol=1e-5)

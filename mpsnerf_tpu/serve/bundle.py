@@ -110,6 +110,11 @@ def _pad_rays_far(ro, rd, nr, fr, n_pad: int):
     n = ro.shape[0]
     if n_pad == n:
         return ro, rd, nr, fr
+    if n_pad < n:
+        raise ValueError(
+            f"ray block of {n} rays exceeds the padded size {n_pad} "
+            "(serve_view_rays must be >= the per-view ray count)"
+        )
 
     def pad(x, fill):
         p = np.full((n_pad - n,) + x.shape[1:], fill, x.dtype)
@@ -373,6 +378,7 @@ def export_serving_bundle(
         counts: List[int] = []
         probe_rays = None
         probe_plan = None
+        fine_probes = []
         for k in range(min(n_views, 8)):
             ro_p, rd_p, nr_p, fr_p = _pad_rays_far(
                 np.asarray(tp_item["ray_o_all"][k], np.float32),
@@ -388,9 +394,15 @@ def export_serving_bundle(
             counts.append(int(p["n_valid"]))
             if probe_rays is None:
                 probe_rays, probe_plan = rays_k, p
+            if len(fine_probes) < 4:
+                fine_probes.append((rays_k, p))
         tile = min(serve_tile, m_total)
+        # every bound must stay a tile multiple: render_rays_compact
+        # asserts capacity % tile == 0, and m_total itself need not be
+        # one (e.g. n_samples not a power of two)
+        cap_ceil = (m_total // tile) * tile
         capacity = min(
-            m_total,
+            cap_ceil,
             max(tile, int(np.ceil(max(counts) * serve_headroom / tile))
                 * tile),
         )
@@ -406,14 +418,22 @@ def export_serving_bundle(
             )
             return dict(zip(plan_fields, fp)), fids
 
+        # fine counts drift with the pose silhouette view to view, so
+        # size the fine bucket from SEVERAL probed views (a view-0-only
+        # probe under-sized denser views, permanently demoting them to
+        # the slow chunked fallback)
         fine_jit = jax.jit(fine_global)
-        probe_fine, probe_fids = fine_jit(
-            smpl_arrays_tp, tp_plain, *probe_rays, probe_plan
-        )
+        fine_counts: List[int] = []
+        probe_fine = probe_fids = None
+        for rays_k, p in fine_probes:
+            fp, fids_k = fine_jit(smpl_arrays_tp, tp_plain, *rays_k, p)
+            fine_counts.append(int(fp["n_valid"]))
+            if probe_fine is None:
+                probe_fine, probe_fids = fp, fids_k
         fine_capacity = min(
             capacity,
             max(tile,
-                int(np.ceil(int(probe_fine["n_valid"]) * serve_headroom
+                int(np.ceil(max(fine_counts) * serve_headroom
                             / tile)) * tile),
         )
 
@@ -453,7 +473,7 @@ def export_serving_bundle(
             "tile": tile,
             "headroom": serve_headroom,
             "probed_counts": counts,
-            "probed_fine_count": int(probe_fine["n_valid"]),
+            "probed_fine_counts": fine_counts,
         }
 
     # -- mesh-occupancy graph: density query + SMPL-distance carving in
@@ -728,8 +748,12 @@ class ServedRenderer:
                 else [(k, v)]
             )
             for kk, vv in pairs:
-                h.update(kk.encode())
-                h.update(np.ascontiguousarray(vv).tobytes())
+                vv = np.ascontiguousarray(vv)
+                # shape + dtype in the key: byte-identical content in a
+                # different layout must MISS (the cold path validates
+                # and rejects it; a hit would silently accept it)
+                h.update(f"{kk}|{vv.dtype}|{vv.shape}".encode())
+                h.update(vv.tobytes())
         return h.hexdigest()
 
     def _validate(self, plain: Dict, schema: Dict, side: str) -> None:
@@ -788,13 +812,22 @@ class ServedRenderer:
         plain, _ = _split_namedtuples(dev)
         self._validate(plain, schema, side)
         entry = {"plain": plain, "latent": None}
-        item["_serve_entry"] = entry
         with self._cache_lock:
-            self._content_cache[key] = entry
-            self._content_order.append(key)
-            while len(self._content_order) > self._content_cache_max:
-                self._content_cache.pop(self._content_order.pop(0), None)
-        return plain
+            # two threads can race the same first request past the miss
+            # check above; keep ONE entry and never duplicate the key in
+            # the LRU order (a duplicate would evict live entries early)
+            existing = self._content_cache.get(key)
+            if existing is not None:
+                entry = existing
+            else:
+                self._content_cache[key] = entry
+                self._content_order.append(key)
+                while len(self._content_order) > self._content_cache_max:
+                    self._content_cache.pop(
+                        self._content_order.pop(0), None
+                    )
+        item["_serve_entry"] = entry
+        return entry["plain"]
 
     def _latent_for(self, sp_item: Dict, sp_plain: Dict):
         entry = sp_item.get("_serve_entry")
@@ -1239,7 +1272,9 @@ class ServedRenderer:
             return bw[:k], rgb[:k], sig[:k]
 
         def encode_fn(variables, images):
-            return self._encode.call(self.variables, images)
+            # consult the content-keyed latent cache: a repeat /animate
+            # for a known actor skips the encoder entirely
+            return self._latent_for(sp_item, sp_plain)
 
         renderer = MeshAnimationRenderer(
             None, None, smpl, can_verts, tris,
@@ -1256,7 +1291,10 @@ class ServedRenderer:
             }
 
         with self._lock:
-            renderer.bake(slim(sp_item))
+            # bake's device dict is otherwise unused here (the injected
+            # query reads the prepped sp_plain; the injected encode
+            # reads the latent cache) — upload only what it touches
+            renderer.bake({"img_all": sp_item["img_all"]})
             return renderer.render_pose(
                 slim(tp_item), view_index, height, width, fast=fast
             )

@@ -379,6 +379,12 @@ def main(argv=None) -> None:
                 name, path = (
                     os.path.basename(os.path.normpath(spec)), spec
                 )
+            if name in bundles:
+                raise SystemExit(
+                    f"duplicate actor name {name!r} "
+                    f"({bundles[name]!r} vs {path!r}) — "
+                    "disambiguate with 'name=dir'"
+                )
             bundles[name] = path
     srv = BundleServer(bundles, args.host, args.port, warmup=args.warmup)
     print(f"serving {args.bundle} on {srv.address[0]}:{srv.address[1]}")

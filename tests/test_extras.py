@@ -136,7 +136,13 @@ class TestLivenessWatchdog:
         (a short timeout must NOT fire after return)."""
         import time
 
+        import jax.numpy as jnp
+
         from mpsnerf_tpu.utils.liveness import first_contact_watchdog
 
-        first_contact_watchdog(timeout_s=1.0)
-        time.sleep(1.3)  # were the event not set, os._exit(3) fires here
+        # warm the backend OUTSIDE the watchdog window: a cold XLA:CPU
+        # init on a loaded box can exceed a short timeout, and a trip
+        # here os._exit(3)s the whole pytest process
+        np.asarray(jnp.zeros(()))
+        first_contact_watchdog(timeout_s=5.0)
+        time.sleep(5.3)  # were the event not set, os._exit(3) fires here

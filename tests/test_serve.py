@@ -581,6 +581,18 @@ class TestContentCache:
                                use_global=False)
         np.testing.assert_array_equal(a, b)
 
+    def test_reshaped_bytes_change_the_key(self, setup, bundle):
+        """Byte-identical content in a different layout must MISS (a
+        hit would skip schema validation)."""
+        ds, items, smpl, model, variables = setup
+        served = load_serving_bundle(bundle)
+        a = dict(items[0])
+        b = dict(items[0])
+        v = np.ascontiguousarray(np.asarray(a["vertices"]))
+        b["vertices"] = v.reshape(3, -1)  # same bytes, new shape
+        assert (served._item_key(a, "tp")
+                != served._item_key(b, "tp"))
+
     def test_cache_is_bounded(self, setup, bundle):
         import os as _os
 

@@ -718,8 +718,13 @@ class ViewRenderer:
 def run_thuman_eval(
     args, model, variables, smpl_selector, savedir: str,
     dataset_cls=None, verbose: bool = True, poses_num: int = 5,
+    image_hw: int = 512,
 ) -> Dict:
-    """``test_THuman_ssim`` equivalent over the 5 held-out subjects."""
+    """``test_THuman_ssim`` equivalent over the 5 held-out subjects.
+
+    ``image_hw`` is the square frame size the protocol reshapes renders
+    to — 512 in the reference (all_test.py:71); parameterized so the
+    protocol can run end-to-end on small synthetic fixtures."""
     import os
 
     if dataset_cls is None:
@@ -768,7 +773,7 @@ def run_thuman_eval(
 
     return evaluate_novel_view_pose(
         lambda sp, tp, k: renderer.render_view(variables, sp, tp, k),
-        humans, THUMAN_NOVEL_VIEWS, 512, 512, savedir,
+        humans, THUMAN_NOVEL_VIEWS, image_hw, image_hw, savedir,
         start_poses=start_poses, verbose=verbose,
         render_async=(
             lambda sp, tp, k: renderer.render_view_async(variables, sp,

@@ -270,14 +270,22 @@ class MeshTrainer:
             )
             logs.append((terms, psnr))
         mean = lambda xs: float(np.mean([float(x) for x in xs]))
-        return {
+        out = {
             "loss": mean([t.total for t, _ in logs]),
             "img_loss": mean([t.img_raw for t, _ in logs]),
             "acc_loss": mean([t.acc for t, _ in logs]),
             "psnr": mean([p for _, p in logs]),
             "normal_smooth_loss": mean([t.normal_smooth for t, _ in logs]),
             "smpl_normal_loss": mean([t.smpl_normal for t, _ in logs]),
+            # terms are item-MEANED then pmean'd, so this is the mean
+            # drop count across sharded items; > 0 still means some
+            # shard's gradient was truncated
+            "n_dropped": max(float(t.n_dropped) for t, _ in logs),
         }
+        from mpsnerf_tpu.train.trainer import check_train_overflow
+
+        check_train_overflow(out["n_dropped"], int(self.state.step))
+        return out
 
 
 def make_sharded_render(model, mesh: Mesh, n_samples: int, chunk: int = 0,

@@ -47,6 +47,11 @@ class LossTerms(NamedTuple):
     density: jnp.ndarray
     normal_smooth: jnp.ndarray
     smpl_normal: jnp.ndarray
+    # in-body points lost to compaction-capacity overflow in this step's
+    # forward(s) — float so the batched/pmean'd steps can average it; any
+    # value > 0 means the gradient came from a silently truncated point
+    # set (the trainer makes this loud — see Trainer._check_overflow)
+    n_dropped: jnp.ndarray = 0.0
 
 
 def compute_losses(
@@ -105,6 +110,10 @@ def compute_losses(
         smpl_normal = zero
         other = zero
 
+    n_dropped = raw.n_dropped.astype(jnp.float32)
+    if raw_perturbed is not None:
+        n_dropped = n_dropped + raw_perturbed.n_dropped.astype(jnp.float32)
+
     total = img + correction + acc + consistency + density + other
     return LossTerms(
         total=total,
@@ -116,4 +125,5 @@ def compute_losses(
         density=density,
         normal_smooth=normal_smooth,
         smpl_normal=smpl_normal,
+        n_dropped=n_dropped,
     )

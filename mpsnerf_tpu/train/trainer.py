@@ -267,6 +267,35 @@ def to_device_input(item: Dict) -> Dict:
     return out
 
 
+def check_train_overflow(n_dropped: float, step: int) -> None:
+    """Make compaction overflow in a train step LOUD.
+
+    The compacted forward silently truncates in-body points past the
+    ``compact_fraction`` capacity (RawOutput.n_dropped counts them) —
+    gradients from such a step come from an incomplete point set, which
+    the reference never does (every in-body point contributes,
+    lib/skinnning_batch.py:354-368).  Policy via
+    ``MPSNERF_TRAIN_OVERFLOW``: ``warn`` (default) prints once per
+    offending item; ``raise`` aborts the run; ``ignore`` disables.
+    """
+    if n_dropped <= 0:
+        return
+    import os
+    import sys
+
+    policy = os.environ.get("MPSNERF_TRAIN_OVERFLOW", "warn")
+    msg = (
+        f"[TRAIN] step {step}: compaction overflow — {int(n_dropped)} "
+        f"in-body points dropped; gradients are truncated. Raise the "
+        f"model's compact_fraction (or set MPSNERF_TRAIN_OVERFLOW=raise "
+        f"to abort / =ignore to silence)."
+    )
+    if policy == "raise":
+        raise RuntimeError(msg)
+    if policy != "ignore":
+        print(msg, file=sys.stderr)
+
+
 class Trainer:
     """Host-side loop driving the jitted view-steps.
 
@@ -320,11 +349,14 @@ class Trainer:
             )
             logs.append((terms, psnr))
         mean = lambda xs: float(np.mean([float(x) for x in xs]))
-        return {
+        out = {
             "loss": mean([t.total for t, _ in logs]),
             "img_loss": mean([t.img_raw for t, _ in logs]),
             "acc_loss": mean([t.acc for t, _ in logs]),
             "psnr": mean([p for _, p in logs]),
             "normal_smooth_loss": mean([t.normal_smooth for t, _ in logs]),
             "smpl_normal_loss": mean([t.smpl_normal for t, _ in logs]),
+            "n_dropped": max(float(t.n_dropped) for t, _ in logs),
         }
+        check_train_overflow(out["n_dropped"], self.global_step)
+        return out

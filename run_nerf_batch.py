@@ -265,9 +265,15 @@ def main(argv=None):
             }
             dt = (time.time() - t0) / max(1, len(running))
             writer.add_scalars(gs, mean)
+            dropped = mean.get("n_dropped", 0.0)
+            drop_str = (
+                f"  Dropped: {dropped:.0f} pts (compaction overflow!)"
+                if dropped > 0 else ""
+            )
             print(
                 f"[TRAIN] Iter: {gs}  Loss: {round(mean['loss'], 5)} "
                 f"PSNR: {round(mean['psnr'], 3)}  Time: {round(dt, 3)} s/item"
+                f"{drop_str}"
             )
             running = []
             t0 = time.time()

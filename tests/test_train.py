@@ -160,3 +160,57 @@ class TestCheckpoint:
         out = save_checkpoint(str(tmp_path), "exp", 1, state, is_primary=False)
         assert out is None
         assert not os.path.isdir(os.path.join(str(tmp_path), "exp"))
+
+
+class TestCompactionOverflowSignal:
+    """A train step whose in-body points exceed the compaction capacity
+    must be LOUD (VERDICT r4: gradients were silently truncated).
+
+    ``cap_of`` floors the capacity at 1024 slots, so overflow needs >1024
+    true in-body points: rays are crafted to pass straight through SMPL
+    vertices with a tight near/far, putting ALL 256x8 = 2048 samples
+    within the 5 cm body mask against a 1024 capacity."""
+
+    @staticmethod
+    def _body_hugging_tp(inp):
+        verts = np.asarray(inp["vertices"])
+        n_rays = 256
+        v = verts[np.resize(np.arange(verts.shape[0]), n_rays)]
+        d = np.tile(np.array([0.0, 0.0, 1.0], np.float32), (n_rays, 1))
+        tp = dict(inp)
+        tp["ray_o_all"] = jnp.asarray((v - 0.5 * d)[None])
+        tp["ray_d_all"] = jnp.asarray(d[None])
+        tp["near_all"] = jnp.full((1, n_rays, 1), 0.48, jnp.float32)
+        tp["far_all"] = jnp.full((1, n_rays, 1), 0.52, jnp.float32)
+        tp["rgb_all"] = jnp.zeros((1, n_rays, 3), jnp.float32)
+        tp["bkgd_msk_all"] = jnp.ones((1, n_rays, 1), jnp.float32)
+        return tp
+
+    def test_overflow_surfaces_in_logs(self, setup, monkeypatch, capsys):
+        _, smpl, inp, _, variables = setup
+        # capacity far below the true in-body count -> guaranteed drop
+        model = MPSNeRF(num_instances=1, compact_fraction=0.01)
+        cfg = TrainConfig(n_samples=8, smooth_loss=False)
+        trainer = Trainer(model, cfg, variables)
+        tp = self._body_hugging_tp(inp)
+        monkeypatch.setenv("MPSNERF_TRAIN_OVERFLOW", "warn")
+        logs = trainer.train_item(smpl, inp, tp, jax.random.PRNGKey(1))
+        assert logs["n_dropped"] > 0
+        assert "compaction overflow" in capsys.readouterr().err
+
+    def test_overflow_raises_when_asked(self, setup, monkeypatch):
+        _, smpl, inp, _, variables = setup
+        model = MPSNeRF(num_instances=1, compact_fraction=0.01)
+        cfg = TrainConfig(n_samples=8, smooth_loss=False)
+        trainer = Trainer(model, cfg, variables)
+        tp = self._body_hugging_tp(inp)
+        monkeypatch.setenv("MPSNERF_TRAIN_OVERFLOW", "raise")
+        with pytest.raises(RuntimeError, match="compaction overflow"):
+            trainer.train_item(smpl, inp, tp, jax.random.PRNGKey(1))
+
+    def test_healthy_step_reports_zero(self, setup):
+        _, smpl, inp, model, variables = setup
+        cfg = TrainConfig(n_samples=8, smooth_loss=True, smooth_interval=4)
+        trainer = Trainer(model, cfg, variables)
+        logs = trainer.train_item(smpl, inp, inp, jax.random.PRNGKey(2))
+        assert logs["n_dropped"] == 0

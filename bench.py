@@ -374,8 +374,12 @@ def main():
             jnp.zeros((n_rand, 1), jnp.float32),
             jax.random.PRNGKey(1),
         )
+        # reps sized so each timed window is ~1 s: the tunnel adds
+        # ~100-150 ms RPC latency per SYNC (measured round 5,
+        # tools/train_timing_probe.py) — short windows let one flap
+        # dominate the mean (the r04 360.7 ms anomaly's noise floor)
         for name, fn, reps in (
-            ("plain", trainer._step_plain, 5),
+            ("plain", trainer._step_plain, 10),
             ("smooth", trainer._step_smooth, 3),
         ):
             state, terms, _ = fn(trainer.state, *t_args)  # compile

@@ -4,9 +4,11 @@ Behavioral reference: ``/root/reference/run_nerf_batch.py:369-398``
 (``raw2outputs``) with the shifted-softplus density and wide-sigmoid rgb
 activations defined at ``lib/run_nerf_helpers.py:18-19``.
 
-The transmittance cumprod is expressed as exp(cumsum(log(...))) — a single
-associative scan XLA maps onto the VPU; everything fuses into one kernel
-under jit, so no hand-written Pallas is needed for speed-of-light here.
+The transmittance is an exclusive ``cumprod`` (a single associative scan
+XLA maps onto the VPU — NOT the exp(cumsum(log)) form, whose fused
+gradient emits NaN when alpha saturates; see the in-function note);
+everything fuses into one kernel under jit, so no hand-written Pallas is
+needed for speed-of-light here.
 """
 
 from __future__ import annotations

@@ -67,21 +67,15 @@ class PoseTransforms(NamedTuple):
     R: jnp.ndarray              # (3, 3) global rotation (world<->smpl)
     Th: jnp.ndarray             # (3,)  global translation
     joints: jnp.ndarray         # (24, 3) rest joints
-    # (V, 30) = [blend weights | pose offsets | shape offsets]: TPU
-    # gathers cost ~9 ns per INDEX regardless of slice width, so the
-    # warps fetch all three per-vertex tables with ONE row gather
-    # instead of three (~70 ms/image at the eval point count).  The
-    # table is the ONLY copy of the offsets (no standalone fields to
-    # drift out of sync); slice 24:27 = pose, 27:30 = shape.
-    vert_table: jnp.ndarray
-
-    @property
-    def pose_offsets(self) -> jnp.ndarray:  # (V, 3)
-        return self.vert_table[:, 24:27]
-
-    @property
-    def shape_offsets(self) -> jnp.ndarray:  # (V, 3)
-        return self.vert_table[:, 27:30]
+    pose_offsets: jnp.ndarray   # (V, 3) per-vertex pose blend offsets
+    shape_offsets: jnp.ndarray  # (V, 3) per-vertex shape blend offsets
+    # NOTE (round-5 bisect, do NOT re-fuse): a fused (V, 30)
+    # [weights | pose_off | shape_off] table with ONE row gather per
+    # point per warp was measured and is a net LOSS — it regressed the
+    # plain train step 4x (93.9 -> 385.8 ms at the shipped workload,
+    # commit 67d4064) and bought the eval render nothing measurable.
+    # Three narrow gathers from standalone tables fuse better in XLA's
+    # backward pass than one wide gather sliced four ways.
 
     @staticmethod
     def create(smpl: SMPLModel, params) -> "PoseTransforms":
@@ -90,17 +84,14 @@ class PoseTransforms(NamedTuple):
         shapes = params["shapes"].reshape(-1)
         A, joints = transform_params(smpl, poses, shapes)
         A_big, _ = transform_params(smpl, big_pose_vector(poses.dtype), shapes)
-        pose_off = pose_blend_offsets(smpl, poses)
-        shape_off = shape_blend_offsets(smpl, shapes)
         return PoseTransforms(
             A=A,
             A_big=A_big,
             R=params["R"].reshape(3, 3),
             Th=params["Th"].reshape(3),
             joints=joints,
-            vert_table=jnp.concatenate(
-                [jnp.asarray(smpl.weights), pose_off, shape_off], axis=-1
-            ),
+            pose_offsets=pose_blend_offsets(smpl, poses),
+            shape_offsets=shape_blend_offsets(smpl, shapes),
         )
 
 
@@ -120,16 +111,15 @@ def deform_target_to_canonical(
 
     Ref: ``coarse_deform_target2c`` (lib/skinnning_batch.py:203-251).
     """
-    tab = tf.vert_table[vert_ids]  # one (30,) row gather per point
-    bweights = tab[:, :24]
+    bweights = jnp.asarray(smpl.weights)[vert_ids]  # (N, 24)
 
     A = _blend_A(bweights, tf.A)
     can = query_pts - A[:, :3, 3]
     can = jnp.einsum("nij,nj->ni", inv3x3(A[:, :3, :3]), can)
 
     if mean_shape:
-        can = can - tab[:, 24:27]  # pose offsets
-        can = can - tab[:, 27:30]  # shape offsets
+        can = can - tf.pose_offsets[vert_ids]
+        can = can - tf.shape_offsets[vert_ids]
 
     A_b = _blend_A(bweights, tf.A_big)
     can = jnp.einsum("nij,nj->ni", A_b[:, :3, :3], can) + A_b[:, :3, 3]
@@ -154,9 +144,8 @@ def deform_target_to_canonical_with_weights(
         from mpsnerf_tpu.ops.knn import nearest_vertex
 
         _, vert_ids = nearest_vertex(query_pts, smpl.v_template)
-        tab = tf.vert_table[vert_ids]
-        can = can - tab[:, 24:27]
-        can = can - tab[:, 27:30]
+        can = can - tf.pose_offsets[vert_ids]
+        can = can - tf.shape_offsets[vert_ids]
     A_b = _blend_A(bweights, tf.A_big)
     return jnp.einsum("nij,nj->ni", A_b[:, :3, :3], can) + A_b[:, :3, 3]
 
@@ -175,8 +164,7 @@ def deform_canonical_to_source(
     Ref: ``coarse_deform_c2source`` (lib/skinnning_batch.py:253-300) —
     including the 0.2-scaled skinning-field correction and renormalization.
     """
-    tab = tf.vert_table[vert_ids]  # one (30,) row gather per point
-    bweights = tab[:, :24]
+    bweights = jnp.asarray(smpl.weights)[vert_ids]  # (N, 24)
     if weights_correction is not None:
         bweights = bweights + 0.2 * weights_correction
         bweights = bweights / jnp.sum(bweights, axis=-1, keepdims=True)
@@ -187,8 +175,8 @@ def deform_canonical_to_source(
     pts = jnp.einsum("nij,nj->ni", inv3x3(A_b[:, :3, :3]), pts)
 
     if mean_shape:
-        pts = pts + tab[:, 27:30]  # shape offsets
-        pts = pts + tab[:, 24:27]  # pose offsets
+        pts = pts + tf.shape_offsets[vert_ids]
+        pts = pts + tf.pose_offsets[vert_ids]
 
     # T pose -> source pose
     A_s = _blend_A(bweights, tf.A)

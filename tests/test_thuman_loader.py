@@ -6,82 +6,23 @@ intrinsics rescale (behavioral reference: THuman_dataset.py:192-198; the
 eval sizes frames as ``512 * ratio``, run_nerf_batch.py:143,185).
 """
 
-import os
-
-import cv2
 import numpy as np
 import pytest
 
 from mpsnerf_tpu.data.thuman import THumanDatasetBatch
+
+from tests.thuman_fixture import build_thuman_subject
 
 H = W = 64
 N_VIEWS = 24
 N_POSES = 2
 
 
-def _camera(i):
-    a = 2 * np.pi * i / N_VIEWS
-    pos = np.array([3.0 * np.cos(a), 3.0 * np.sin(a), 0.0])
-    fwd = -pos / np.linalg.norm(pos)
-    up = np.array([0.0, 0.0, -1.0])
-    right = np.cross(fwd, up)
-    right /= np.linalg.norm(right)
-    down = np.cross(fwd, right)
-    R = np.stack([right, down, fwd], axis=0)  # world -> cam rows
-    T = -R @ pos
-    K = np.array([[80.0, 0, W / 2], [0, 80.0, H / 2], [0, 0, 1.0]])
-    return K, R, T.reshape(3, 1)
-
-
 @pytest.fixture(scope="module")
 def thuman_root(tmp_path_factory):
     root = tmp_path_factory.mktemp("thuman") / "subject_F"
-    rng = np.random.default_rng(0)
-
-    cams = {"K": [], "D": [], "R": [], "T": []}
-    for v in range(N_VIEWS):
-        K, R, T = _camera(v)
-        cams["K"].append(K)
-        cams["D"].append(np.zeros(5))
-        cams["R"].append(R)
-        cams["T"].append(T)
-
-    ims = []
-    for p in range(N_POSES):
-        paths = []
-        for v in range(N_VIEWS):
-            rel = os.path.join(f"{v:02d}", f"{p}.jpg")
-            paths.append(rel)
-            img = np.zeros((H, W, 3), np.uint8)
-            img[24:40, 24:40] = rng.integers(64, 255, (16, 16, 3))
-            msk = np.zeros((H, W), np.uint8)
-            msk[24:40, 24:40] = 255
-            ipath = root / rel
-            mpath = root / "mask_cihp" / rel.replace("jpg", "png")
-            ipath.parent.mkdir(parents=True, exist_ok=True)
-            mpath.parent.mkdir(parents=True, exist_ok=True)
-            cv2.imwrite(str(ipath), img)
-            cv2.imwrite(str(mpath), msk)
-        ims.append({"ims": paths})
-
-    np.save(root / "annots.npy", {"cams": cams, "ims": ims})
-
-    (root / "new_vertices").mkdir()
-    (root / "new_params").mkdir()
-    verts = (0.2 * rng.standard_normal((300, 3))).astype(np.float32)
-    for p in range(N_POSES):
-        np.save(root / "new_vertices" / f"{p}.npy", verts)
-        np.save(
-            root / "new_params" / f"{p}.npy",
-            {
-                "poses": np.zeros(72, np.float32),
-                "shapes": np.zeros(10, np.float32),
-                "R": np.eye(3, dtype=np.float32),
-                "Th": np.zeros((1, 3), np.float32),
-            },
-        )
-    np.save(root / "X_vertices.npy", verts)
-    return str(root)
+    return build_thuman_subject(root, n_poses=N_POSES, n_views=N_VIEWS,
+                                hw=H, n_verts=300, seed=0)
 
 
 def _load(root, ratio):

@@ -104,8 +104,9 @@ def sample_pdf(
 ) -> jnp.ndarray:
     """Hierarchical inverse-CDF sampling (ref run_nerf_helpers.py:548-591).
 
-    Unused in the shipped configs (N_importance=0) but part of the API.
-    bins: (R, B), weights: (R, B-1) -> samples (R, n_samples).
+    Consumed by ``renderer.render_rays(n_importance > 0)``; the shipped
+    configs keep N_importance=0 (reference parity — its render_rays never
+    calls this).  bins: (R, B), weights: (R, B-1) -> (R, n_samples).
     """
     weights = weights + 1e-5
     pdf = weights / jnp.sum(weights, axis=-1, keepdims=True)

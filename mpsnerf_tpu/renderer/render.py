@@ -19,7 +19,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from mpsnerf_tpu.models.mps_nerf import MPSNeRF, RawOutput
-from mpsnerf_tpu.ops.composite import composite_rays, stratified_z_vals
+from mpsnerf_tpu.ops.composite import (
+    composite_rays, sample_pdf, stratified_z_vals,
+)
 from mpsnerf_tpu.smpl.model import SMPLModel
 
 
@@ -50,31 +52,55 @@ def render_rays(
     compute_normals: bool = False,
     occupancy: bool = False,
     white_bkgd: bool = False,
+    n_importance: int = 0,
 ) -> RenderResult:
-    """Render one fixed-size block of rays (fully on device)."""
+    """Render one fixed-size block of rays (fully on device).
+
+    ``n_importance > 0`` adds NeRF's hierarchical pass (section 5.2):
+    importance-sample that many extra z values from the coarse weights
+    (``sample_pdf``), merge-sort, and re-query the network at the union —
+    one static-shape second pass, n_samples + n_importance final samples.
+    The reference ACCEPTS N_importance but its render_rays never consumes
+    it (run_nerf_batch.py:401-444 — no sample_pdf call, no fine query);
+    this wires the op the reference left dead, default-off for parity.
+    """
     r = rays_o.shape[0]
+    if n_importance > 0:
+        key, key_imp = jax.random.split(key)
     z_vals = stratified_z_vals(
         key, near[:, None], far[:, None], n_samples, perturb
     )  # (R, S)
-    pts = rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., None]
 
     viewdirs = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
-    viewdirs_flat = jnp.broadcast_to(
-        viewdirs[:, None, :], pts.shape
-    ).reshape(-1, 3)
 
-    raw: RawOutput = model.apply(
-        variables,
-        smpl,
-        sp_input,
-        tp_input,
-        latent,
-        pts.reshape(-1, 3),
-        viewdirs_flat,
-        train=train,
-        compute_normals=compute_normals,
-        method="query",
-    )
+    def query(pts, s):
+        vd = jnp.broadcast_to(viewdirs[:, None, :], pts.shape).reshape(-1, 3)
+        return model.apply(
+            variables, smpl, sp_input, tp_input, latent,
+            pts.reshape(-1, 3), vd,
+            train=train, compute_normals=compute_normals, method="query",
+        )
+
+    if n_importance > 0:
+        pts = rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., None]
+        coarse_raw: RawOutput = query(pts, n_samples)
+        coarse = composite_rays(
+            coarse_raw.rgb.reshape(r, n_samples, 3),
+            coarse_raw.sigma.reshape(r, n_samples),
+            z_vals, rays_d, occupancy=occupancy, white_bkgd=white_bkgd,
+        )
+        mids = 0.5 * (z_vals[..., 1:] + z_vals[..., :-1])
+        z_fine = sample_pdf(
+            key_imp, mids, coarse.weights[..., 1:-1], n_importance,
+            det=(perturb == 0.0),
+        )
+        z_vals = jnp.sort(
+            jnp.concatenate([z_vals, jax.lax.stop_gradient(z_fine)], -1), -1
+        )
+        n_samples = n_samples + n_importance
+
+    pts = rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., None]
+    raw: RawOutput = query(pts, n_samples)
 
     out = composite_rays(
         raw.rgb.reshape(r, n_samples, 3),

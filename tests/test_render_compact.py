@@ -171,3 +171,58 @@ class TestRenderCompact:
             key, n_samples=N_SAMPLES, capacity=256, tile=256, perturb=0.0,
         )
         assert np.isfinite(np.asarray(rgb_small)).all()
+
+
+class TestHierarchicalSampling:
+    """render_rays(n_importance > 0): the hierarchical pass the reference
+    accepts but leaves dead (run_nerf_batch.py:401-444 takes N_importance
+    and never calls sample_pdf) — wired here, default-off for parity."""
+
+    def test_importance_pass_shapes_and_determinism(self, setup):
+        from mpsnerf_tpu.renderer.render import render_rays
+
+        model, variables, smpl, inp, latent, ro, rd, nr, fr = setup
+        n, n_imp = 64, 8
+        args = (model, variables, smpl, inp, inp, latent,
+                ro[:n], rd[:n], nr[:n], fr[:n], jax.random.PRNGKey(3))
+        out = render_rays(*args, n_samples=N_SAMPLES, perturb=0.0,
+                          n_importance=n_imp)
+        assert out.rgb_map.shape == (n, 3)
+        assert out.weights.shape == (n, N_SAMPLES + n_imp)
+        assert np.isfinite(np.asarray(out.rgb_map)).all()
+        # det=(perturb==0): same key -> identical pixels
+        out2 = render_rays(*args, n_samples=N_SAMPLES, perturb=0.0,
+                           n_importance=n_imp)
+        np.testing.assert_array_equal(
+            np.asarray(out.rgb_map), np.asarray(out2.rgb_map)
+        )
+
+    def test_importance_samples_follow_coarse_weights(self, setup):
+        """Fine z values must land inside the coarse pass's high-weight
+        interval (the inverse-CDF property, NeRF section 5.2)."""
+        from mpsnerf_tpu.ops.composite import sample_pdf
+
+        key = jax.random.PRNGKey(0)
+        bins = jnp.linspace(0.0, 1.0, 9)[None].repeat(4, 0)  # (4, 9)
+        w = jnp.zeros((4, 8)).at[:, 3].set(1.0)  # all mass in bin 3
+        z = sample_pdf(key, bins, w, 16, det=True)
+        z = np.asarray(z)
+        lo, hi = 3 / 8, 4 / 8
+        # the reference's +1e-5 weight epsilon leaks a little mass to the
+        # other bins, so the extreme det quantiles (u=0, u=1) land outside
+        frac_in = ((z >= lo - 1e-3) & (z <= hi + 1e-3)).mean()
+        assert frac_in >= 14 / 16, frac_in
+
+    def test_zero_importance_is_the_default_path(self, setup):
+        from mpsnerf_tpu.renderer.render import render_rays
+
+        model, variables, smpl, inp, latent, ro, rd, nr, fr = setup
+        n = 64
+        args = (model, variables, smpl, inp, inp, latent,
+                ro[:n], rd[:n], nr[:n], fr[:n], jax.random.PRNGKey(3))
+        a = render_rays(*args, n_samples=N_SAMPLES, perturb=0.0)
+        b = render_rays(*args, n_samples=N_SAMPLES, perturb=0.0,
+                        n_importance=0)
+        np.testing.assert_array_equal(
+            np.asarray(a.rgb_map), np.asarray(b.rgb_map)
+        )

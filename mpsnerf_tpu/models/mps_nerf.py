@@ -393,8 +393,12 @@ class MPSNeRF(nn.Module):
                         cplan.n_valid - cplan.gather_idx.shape[0], 0
                     ).astype(jnp.int32)
 
+            # fused (V,30) table gathers are EVAL-ONLY: under grad the
+            # wide gather defeats XLA's backward fusion (4x train-step
+            # regression — smpl/lbs.py vert_table note)
+            fused_lbs = not train
             coarse_can = deform_target_to_canonical(
-                smpl, tf_t, q_pts, q_ids, self.mean_shape
+                smpl, tf_t, q_pts, q_ids, self.mean_shape, fused=fused_lbs
             )
         else:
             # extract_mesh / mesh_animation query directly in canonical space
@@ -448,7 +452,7 @@ class MPSNeRF(nn.Module):
                             jax.lax.stop_gradient(coarse_can),
                             sp_input["t_vertices"],
                         )[1],
-                        None, self.mean_shape,
+                        None, self.mean_shape, fused=fused_lbs,
                     )
                     agg_pts = coarse_world_src
                 else:
@@ -496,7 +500,8 @@ class MPSNeRF(nn.Module):
             else:
                 weights_corr = None
             smpl_src, world_src, bweights = deform_canonical_to_source(
-                smpl, tf_s, can_pts, vert_ids_c, weights_corr, self.mean_shape
+                smpl, tf_s, can_pts, vert_ids_c, weights_corr,
+                self.mean_shape, fused=not train,
             )
             correction_b = jnp.zeros_like(smpl_src)
             if (

@@ -69,13 +69,15 @@ class PoseTransforms(NamedTuple):
     joints: jnp.ndarray         # (24, 3) rest joints
     pose_offsets: jnp.ndarray   # (V, 3) per-vertex pose blend offsets
     shape_offsets: jnp.ndarray  # (V, 3) per-vertex shape blend offsets
-    # NOTE (round-5 bisect, do NOT re-fuse): a fused (V, 30)
-    # [weights | pose_off | shape_off] table with ONE row gather per
-    # point per warp was measured and is a net LOSS — it regressed the
-    # plain train step 4x (93.9 -> 385.8 ms at the shipped workload,
-    # commit 67d4064) and bought the eval render nothing measurable.
-    # Three narrow gathers from standalone tables fuse better in XLA's
-    # backward pass than one wide gather sliced four ways.
+    # (V, 30) = [weights | pose_off | shape_off]: ONE row gather per warp
+    # point instead of three.  EVAL-ONLY (``fused=True`` on the warps):
+    # the round-5 bisect put the fused render at 284.4k vs 275.5k rays/s
+    # unfused (+1-3%; within tunnel run-to-run noise, kept because the
+    # forward-only gather-count argument is one-sided).  In the TRAIN
+    # step the wide gather sliced four ways defeats XLA's backward-pass
+    # fusion and regressed the plain step 4x (bisect of commit 67d4064,
+    # 93.9 -> 385.8 ms — table in BASELINE.md).  NEVER fuse under grad.
+    vert_table: jnp.ndarray
 
     @staticmethod
     def create(smpl: SMPLModel, params) -> "PoseTransforms":
@@ -84,14 +86,19 @@ class PoseTransforms(NamedTuple):
         shapes = params["shapes"].reshape(-1)
         A, joints = transform_params(smpl, poses, shapes)
         A_big, _ = transform_params(smpl, big_pose_vector(poses.dtype), shapes)
+        pose_off = pose_blend_offsets(smpl, poses)
+        shape_off = shape_blend_offsets(smpl, shapes)
         return PoseTransforms(
             A=A,
             A_big=A_big,
             R=params["R"].reshape(3, 3),
             Th=params["Th"].reshape(3),
             joints=joints,
-            pose_offsets=pose_blend_offsets(smpl, poses),
-            shape_offsets=shape_blend_offsets(smpl, shapes),
+            pose_offsets=pose_off,
+            shape_offsets=shape_off,
+            vert_table=jnp.concatenate(
+                [jnp.asarray(smpl.weights), pose_off, shape_off], axis=-1
+            ),
         )
 
 
@@ -106,20 +113,30 @@ def deform_target_to_canonical(
     query_pts: jnp.ndarray,   # (N, 3) in target SMPL space
     vert_ids: jnp.ndarray,    # (N,) nearest SMPL vertex index
     mean_shape: bool = True,
+    fused: bool = False,
 ) -> jnp.ndarray:
     """Inverse-LBS warp: target-pose SMPL space -> canonical big-pose space.
 
     Ref: ``coarse_deform_target2c`` (lib/skinnning_batch.py:203-251).
+    ``fused`` trades three narrow gathers for one (V, 30) row gather —
+    EVAL-ONLY (see the PoseTransforms.vert_table note).
     """
-    bweights = jnp.asarray(smpl.weights)[vert_ids]  # (N, 24)
+    if fused:
+        tab = tf.vert_table[vert_ids]
+        bweights = tab[:, :24]
+    else:
+        bweights = jnp.asarray(smpl.weights)[vert_ids]  # (N, 24)
 
     A = _blend_A(bweights, tf.A)
     can = query_pts - A[:, :3, 3]
     can = jnp.einsum("nij,nj->ni", inv3x3(A[:, :3, :3]), can)
 
     if mean_shape:
-        can = can - tf.pose_offsets[vert_ids]
-        can = can - tf.shape_offsets[vert_ids]
+        if fused:
+            can = can - tab[:, 24:27] - tab[:, 27:30]
+        else:
+            can = can - tf.pose_offsets[vert_ids]
+            can = can - tf.shape_offsets[vert_ids]
 
     A_b = _blend_A(bweights, tf.A_big)
     can = jnp.einsum("nij,nj->ni", A_b[:, :3, :3], can) + A_b[:, :3, 3]
@@ -157,14 +174,20 @@ def deform_canonical_to_source(
     vert_ids: jnp.ndarray,                   # (N,) nearest canonical vertex
     weights_correction: Optional[jnp.ndarray] = None,  # (N, 24) or None
     mean_shape: bool = True,
+    fused: bool = False,
 ):
     """Forward-LBS warp: canonical big-pose -> source pose -> world.
 
     Returns ``(smpl_src_pts, world_src_pts, bweights)``.
     Ref: ``coarse_deform_c2source`` (lib/skinnning_batch.py:253-300) —
     including the 0.2-scaled skinning-field correction and renormalization.
+    ``fused``: EVAL-ONLY single row gather (PoseTransforms.vert_table note).
     """
-    bweights = jnp.asarray(smpl.weights)[vert_ids]  # (N, 24)
+    if fused:
+        tab = tf.vert_table[vert_ids]
+        bweights = tab[:, :24]
+    else:
+        bweights = jnp.asarray(smpl.weights)[vert_ids]  # (N, 24)
     if weights_correction is not None:
         bweights = bweights + 0.2 * weights_correction
         bweights = bweights / jnp.sum(bweights, axis=-1, keepdims=True)
@@ -175,8 +198,11 @@ def deform_canonical_to_source(
     pts = jnp.einsum("nij,nj->ni", inv3x3(A_b[:, :3, :3]), pts)
 
     if mean_shape:
-        pts = pts + tf.shape_offsets[vert_ids]
-        pts = pts + tf.pose_offsets[vert_ids]
+        if fused:
+            pts = pts + tab[:, 27:30] + tab[:, 24:27]
+        else:
+            pts = pts + tf.shape_offsets[vert_ids]
+            pts = pts + tf.pose_offsets[vert_ids]
 
     # T pose -> source pose
     A_s = _blend_A(bweights, tf.A)

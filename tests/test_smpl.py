@@ -214,3 +214,34 @@ class TestJit:
         g = jax.grad(loss)(pts)
         assert g.shape == pts.shape
         assert np.all(np.isfinite(np.asarray(g)))
+
+
+class TestFusedGatherParity:
+    """fused=True (one (V,30) row gather, EVAL-ONLY) must be bit-identical
+    to the three-narrow-gather form — same data, same indices, same
+    arithmetic grouping."""
+
+    @pytest.mark.parametrize("mean_shape", [True, False])
+    def test_both_warps_bit_identical(self, smpl, mean_shape):
+        p = _params(smpl, seed=11)
+        tf = PoseTransforms.create(smpl, p)
+        world_verts = posed_vertices(smpl, p)
+        query = world_to_smpl(world_verts, p["R"], p["Th"])
+        _, ids = nearest_vertex_xla(query, query)
+
+        a = deform_target_to_canonical(smpl, tf, query, ids, mean_shape)
+        b = deform_target_to_canonical(
+            smpl, tf, query, ids, mean_shape, fused=True
+        )
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+        corr = 0.1 * jnp.ones((query.shape[0], 24), jnp.float32)
+        s0, w0, bw0 = deform_canonical_to_source(
+            smpl, tf, a, ids, corr, mean_shape
+        )
+        s1, w1, bw1 = deform_canonical_to_source(
+            smpl, tf, a, ids, corr, mean_shape, fused=True
+        )
+        np.testing.assert_array_equal(np.asarray(s0), np.asarray(s1))
+        np.testing.assert_array_equal(np.asarray(w0), np.asarray(w1))
+        np.testing.assert_array_equal(np.asarray(bw0), np.asarray(bw1))

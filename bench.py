@@ -197,47 +197,12 @@ def main():
         nr = jnp.asarray(near_all[sel])
         fr = jnp.asarray(far_all[sel])
 
-        # MPSNERF_BENCH_PLAN2L=0.5: build the SAME exact plan via the
-        # two-level form (scatter at frac*M instead of M) — A/B switch
-        # for the round-3 plan-cost experiment (read once at startup,
-        # baked into this jit)
-        plan2l = float(os.environ.get("MPSNERF_BENCH_PLAN2L", "0"))
-
         @jax.jit
         def plan_fn(a, b, c, d):
             return plan_rays_compact(
                 smpl, inp, a, b, c, d, key, n_samples=N_SAMPLES,
-                perturb=0.0, two_level_frac=plan2l,
+                perturb=0.0,
             )
-
-        # MPSNERF_BENCH_HOSTDDA=1: candidate mask on HOST (threaded C++
-        # ray_sample_mask) + 1 bit/sample upload, replacing the on-device
-        # expansion + warp + grid_lookup inside the plan pre-pass.  Bench
-        # times it SEQUENTIALLY (host cost in the loop); the eval runner
-        # overlaps it across views.
-        HOST_DDA = os.environ.get("MPSNERF_BENCH_HOSTDDA", "0") == "1"
-        if HOST_DDA:
-            from mpsnerf_tpu.ops.body_grid import host_sample_mask
-
-            ro_h, rd_h = ray_o[sel], ray_d[sel]
-            nr_h, fr_h = near_all[sel], far_all[sel]
-
-            @jax.jit
-            def plan_bits_fn(bits):
-                return plan_rays_compact(
-                    None, None, None, None, None, None, None,
-                    n_samples=N_SAMPLES, perturb=0.0,
-                    two_level_frac=plan2l, cand_bits=bits,
-                )
-
-            def plan_fn_host(a, b, c, d):
-                bits = host_sample_mask(
-                    item["body_grid"], ro_h, rd_h, nr_h, fr_h, N_SAMPLES,
-                    item["params"]["R"], item["params"]["Th"],
-                )
-                return plan_bits_fn(jnp.asarray(bits))
-
-            plan_fn = plan_fn_host
 
         # exact capacities from one setup pre-pass: the plans cover the
         # EXACT deterministic sample set the render uses (same key,
@@ -336,9 +301,7 @@ def main():
     if MODE == "compact":
         hint = (
             "plan pre-pass disagreed with the render — check "
-            "plan_rays_compact (or, with MPSNERF_BENCH_PLAN2L set, the "
-            "two-level plan's block buffer lost rows: lower the frac "
-            "toward 1.0 or unset it)"
+            "plan_rays_compact"
         )
     else:
         hint = f"raise MPSNERF_BENCH_COMPACT above {cf}"

@@ -83,11 +83,10 @@ class _PendingView:
     fallback path); otherwise ``out`` holds the global path's device
     outputs awaiting the fetch in :meth:`ViewRenderer.finish_view`."""
 
-    __slots__ = ("out", "n", "meta", "sel", "n_total", "done", "fill",
-                 "retry")
+    __slots__ = ("out", "n", "meta", "sel", "n_total", "done", "fill")
 
     def __init__(self, out=None, n=0, meta=(), sel=None, n_total=0,
-                 done=None, fill=0.0, retry=None):
+                 done=None, fill=0.0):
         self.out = out
         self.n = n
         self.meta = meta
@@ -98,9 +97,6 @@ class _PendingView:
         # the body AABB, so the uncompacted render would composite them to
         # the exact background — 1.0 under white_bkgd, else 0.0
         self.fill = fill
-        # zero-arg re-dispatch on the exact one-level plan (set only when
-        # the two-level plan, whose block buffer can overflow, built this)
-        self.retry = retry
 
 
 class ViewRenderer:
@@ -127,17 +123,6 @@ class ViewRenderer:
         tile: int = 16384,
         fine: bool = True,      # stage-2 exact-mask pre-pass (see prewarm)
         box_cull: bool = True,  # render only AABB-hit rays (exact)
-        # >0: build the (identical) plan via plan_compaction_two_level
-        # with a frac*M block buffer — cheaper gather_idx scatter; loss
-        # on block-buffer overflow surfaces through n_dropped
-        plan_two_level_frac: float = 0.0,
-        # compute the plan pre-pass's candidate mask on HOST (threaded
-        # C++, native/mesh_native.cpp:ray_sample_mask) and upload 1
-        # bit/sample, skipping the on-device sample expansion + warp +
-        # grid_lookup (~87 ms/view); conservative superset, pixel-exact
-        # downstream.  Pays when pipelined: the host mask of view k+1
-        # overlaps the device render of view k.
-        host_dda: bool = False,
     ):
         # the global-compaction path's semantics REQUIRE the flagship's
         # human-region mask: it evaluates only body-grid candidates and
@@ -155,7 +140,6 @@ class ViewRenderer:
             #                   rests on the -80 mask semantics
         self.fine = fine
         self.box_cull = box_cull
-        self.host_dda = host_dda
         if (
             eval_compact_fraction is not None
             and model.compact_fraction is not None
@@ -220,7 +204,6 @@ class ViewRenderer:
         # makes overflow impossible by construction.
         self.global_compact = global_compact
         self.tile = tile
-        self._plan2l_frac = 0.0
 
         if global_compact:
             import functools
@@ -245,41 +228,12 @@ class ViewRenderer:
                     plan=plan, fine_plan=fplan, fine_ids=fids,
                 )
 
-            plan2l_ = plan_two_level_frac
-            self._plan2l_frac = plan_two_level_frac
-
             @jax.jit
             def plan_fn(smpl, tp, ro, rd, nr, fr):
                 return plan_rays_compact(
                     smpl, tp, ro, rd, nr, fr, jax.random.PRNGKey(0),
                     n_samples=n_samples_, perturb=0.0,
-                    two_level_frac=plan2l_,
                 )
-
-            # exact one-level plan: the overflow fallback when the
-            # two-level plan's block buffer drops rows (jit is lazy, so
-            # this compiles only if an overflow ever happens)
-            @jax.jit
-            def plan_fn_full(smpl, tp, ro, rd, nr, fr):
-                return plan_rays_compact(
-                    smpl, tp, ro, rd, nr, fr, jax.random.PRNGKey(0),
-                    n_samples=n_samples_, perturb=0.0,
-                )
-
-            self._plan_fn_full = plan_fn_full
-
-            # host-DDA variant: the candidate mask arrives as packed bits
-            # (ops/body_grid.py:host_sample_mask); the device side is
-            # unpack + compaction only
-            @jax.jit
-            def plan_fn_dda(bits):
-                return plan_rays_compact(
-                    None, None, None, None, None, None, None,
-                    n_samples=n_samples_, perturb=0.0,
-                    two_level_frac=plan2l_, cand_bits=bits,
-                )
-
-            self._plan_fn_dda = plan_fn_dda
 
             @functools.partial(jax.jit, static_argnames=("capacity",))
             def fine_fn(smpl, tp, ro, rd, nr, fr, plan, capacity):
@@ -345,8 +299,7 @@ class ViewRenderer:
         ray shape (hit counts drift far less than 2x).  Padding rays sit
         far outside the body grid: zero candidates (so they never cost
         tail slots), composite to background, sliced off by the caller.
-        Returns HOST arrays (the host-DDA pre-pass reads these; see
-        :meth:`_pad_rays` for the device copies)."""
+        Returns HOST arrays (see :meth:`_pad_rays` for device copies)."""
         n = ro.shape[0]
         c = 1
         while c * 4096 < n:
@@ -377,48 +330,18 @@ class ViewRenderer:
 
     def _dispatch_rays_global(
         self, variables, smpl, sp, tp, latent, ro, rd, nr, fr,
-        plan_fn=None, tp_item=None,
     ):
         """ENQUEUE a whole-view render on the global-compaction path and
-        return ``(out_device, n, (count, cap, fcap), retry)`` without
+        return ``(out_device, n, (count, cap, fcap))`` without
         fetching the image.  The two small ``int(n_valid)`` syncs (the
         host picks the static capacity buckets) stay here; the ~3 MB rgb
         fetch is deferred to :meth:`finish_view` so a pipelined caller can
         keep the device busy on this view while fetching + post-processing
         the previous one."""
         n = ro.shape[0]
-        ro_h, rd_h, nr_h, fr_h = self._pad_rays_host(ro, rd, nr, fr)
-        ro_d, rd_d, nr_d, fr_d = (jnp.asarray(x) for x in
-                                  (ro_h, rd_h, nr_h, fr_h))
+        ro_d, rd_d, nr_d, fr_d = self._pad_rays(ro, rd, nr, fr)
 
-        retry = None
-        use_dda = (
-            plan_fn is None and self.host_dda and tp_item is not None
-            and "body_grid" in tp_item and self.n_samples % 8 == 0
-        )
-        if plan_fn is None:
-            plan_fn = self._plan_fn
-            if self._plan2l_frac:
-                # the two-level plan can lose rows to block-buffer
-                # overflow; finish_view re-dispatches on the exact
-                # one-level plan instead of aborting the protocol
-                def retry():
-                    return self._dispatch_rays_global(
-                        variables, smpl, sp, tp, latent, ro, rd, nr, fr,
-                        plan_fn=self._plan_fn_full,
-                    )
-
-        if use_dda:
-            from mpsnerf_tpu.ops.body_grid import host_sample_mask
-
-            params = tp_item["params"]
-            bits = host_sample_mask(
-                tp_item["body_grid"], ro_h, rd_h, nr_h, fr_h,
-                self.n_samples, params["R"], params["Th"],
-            )
-            plan = self._plan_fn_dda(jnp.asarray(bits))
-        else:
-            plan = plan_fn(smpl, tp, ro_d, rd_d, nr_d, fr_d)
+        plan = self._plan_fn(smpl, tp, ro_d, rd_d, nr_d, fr_d)
         count = int(plan.n_valid)
         cap = self._capacity_bucket(count)
         if self.fine:
@@ -439,7 +362,7 @@ class ViewRenderer:
             plan, fplan, fids, capacity=cap, fine_capacity=fcap,
             tile_=self.tile,
         )
-        return out, n, (count, cap, fcap), retry
+        return out, n, (count, cap, fcap)
 
     def _view_ray_mask(self, tp_item, k, ray_mask=None):
         """Effective ray mask for a view.  With ``box_cull`` (default),
@@ -604,13 +527,12 @@ class ViewRenderer:
         )
 
         if self.global_compact and "body_grid" in tp_item:
-            out, n, meta, retry = self._dispatch_rays_global(
+            out, n, meta = self._dispatch_rays_global(
                 variables, smpl, sp, tp, latent, ro, rd, nr, fr,
-                tp_item=tp_item,
             )
             return _PendingView(
                 out=out, n=n, meta=meta, sel=sel, n_total=n_total,
-                fill=fill, retry=retry,
+                fill=fill,
             )
         rgb = self._render_view_chunked(
             variables, smpl, sp, tp, latent, ro, rd, nr, fr, sel, n_total,
@@ -623,23 +545,8 @@ class ViewRenderer:
         if pending.done is not None:
             return pending.done
         n_dropped = int(pending.out[3])
-        if n_dropped > 0 and pending.retry is not None:
-            # two-level plan block-buffer overflow: rows were lost before
-            # slot assignment — re-dispatch on the exact one-level plan
-            # (same buckets: n_valid is the full-mask count in both)
-            print(
-                f"[eval] two-level plan lost {n_dropped} pts "
-                f"(meta={pending.meta}); re-rendering on the exact plan"
-            )
-            out, n, meta, _ = pending.retry()
-            pending = _PendingView(
-                out=out, n=n, meta=meta, sel=pending.sel,
-                n_total=pending.n_total, fill=pending.fill,
-            )
-            n_dropped = int(pending.out[3])
         # the render consumes the pre-passes' OWN plans resized to
         # buckets >= their n_valid, so dropping is structurally impossible
-        # on the one-level plan
         assert n_dropped == 0, (n_dropped,) + pending.meta
         rgb = np.asarray(pending.out[0])[: pending.n]
         if pending.sel is not None:

@@ -60,13 +60,6 @@ def _load():
             f32p, ctypes.c_int, i32p, ctypes.c_int,
             ctypes.c_int, ctypes.c_int, i32p, f32p, f32p,
         ]
-        lib.ray_sample_mask.restype = None
-        lib.ray_sample_mask.argtypes = [
-            f32p, f32p, f32p, f32p, ctypes.c_int, ctypes.c_int,
-            f32p, f32p,
-            u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
-            f32p, ctypes.c_float, ctypes.c_float, ctypes.c_int, u8p,
-        ]
         _lib = lib
         return lib
 
@@ -129,46 +122,6 @@ def rasterize_mesh(
         bary.reshape(height, width, 3),
         zbuf.reshape(height, width),
     )
-
-
-def ray_sample_mask(
-    rays_o: np.ndarray, rays_d: np.ndarray,
-    near: np.ndarray, far: np.ndarray,
-    n_samples: int,
-    R: np.ndarray, Th: np.ndarray,
-    grid: np.ndarray, origin: np.ndarray, voxel: float,
-    eps: float = 1e-4, n_threads: int = 0,
-) -> np.ndarray:
-    """Host-side body-grid candidate bits for every (ray, sample) of a
-    view — the device plan pre-pass's grid_lookup computed on CPU while
-    the device renders the previous view (see the .cpp header).  Only
-    valid for deterministic samples (perturb=0).
-
-    Returns packed LSB-first bits, (n_rays * n_samples / 8,) uint8; bit
-    ``ray * n_samples + sample``.  Conservative superset of the device
-    ``grid_lookup`` mask (eps-ball dilation absorbs fp32 drift).
-    """
-    assert n_samples % 8 == 0, (
-        "thread-chunk byte disjointness requires n_samples % 8 == 0"
-    )
-    lib = _load()
-    rays_o = np.ascontiguousarray(rays_o, np.float32)
-    rays_d = np.ascontiguousarray(rays_d, np.float32)
-    near = np.ascontiguousarray(near, np.float32).reshape(-1)
-    far = np.ascontiguousarray(far, np.float32).reshape(-1)
-    R = np.ascontiguousarray(R, np.float32).reshape(9)
-    Th = np.ascontiguousarray(Th, np.float32).reshape(3)
-    grid = np.ascontiguousarray(grid, np.uint8)
-    origin = np.ascontiguousarray(origin, np.float32).reshape(3)
-    n_rays = rays_o.shape[0]
-    d, h, w = grid.shape
-    out = np.empty((n_rays * n_samples + 7) // 8, np.uint8)
-    lib.ray_sample_mask(
-        rays_o, rays_d, near, far, n_rays, n_samples, R, Th,
-        grid, d, h, w,
-        origin, np.float32(voxel), np.float32(eps), n_threads, out,
-    )
-    return out
 
 
 def export_obj(path: str, verts: np.ndarray, tris: np.ndarray) -> None:

@@ -83,39 +83,6 @@ def build_body_grid(
                     voxel=np.float32(voxel))
 
 
-def host_sample_mask(grid_tuple, rays_o, rays_d, near, far, n_samples,
-                     R, Th, eps: float = 1e-4):
-    """Host-side (C++, threaded) candidate bits for a whole view's
-    deterministic sample set — the :func:`grid_lookup` of the eval plan
-    pre-pass moved off-device (native/mesh_native.cpp:ray_sample_mask).
-    All arguments are host values; returns packed LSB-first uint8 bits,
-    bit ``ray * n_samples + sample``.  Conservative SUPERSET of the
-    device mask (eps-ball dilation absorbs fp32 drift); supersets are
-    exact downstream because the in-render 5 cm mask / fine pre-pass
-    culls non-body candidates identically either way."""
-    import numpy as np
-
-    from mpsnerf_tpu.native.bindings import ray_sample_mask
-
-    return ray_sample_mask(
-        np.asarray(rays_o), np.asarray(rays_d), np.asarray(near),
-        np.asarray(far), n_samples, np.asarray(R), np.asarray(Th),
-        np.asarray(grid_tuple.grid), np.asarray(grid_tuple.origin),
-        float(np.asarray(grid_tuple.voxel)), eps=eps,
-    )
-
-
-def unpack_mask_bits(bits, m: int):
-    """Device-side unpack of :func:`host_sample_mask` bits -> (m,) bool.
-    Bandwidth-bound elementwise work on M/8 bytes — vs the ~9 ns/idx
-    cost of the M one-per-sample gathers it replaces."""
-    import jax.numpy as jnp
-
-    b = jnp.asarray(bits, jnp.uint8)
-    exp = (b[:, None] >> jnp.arange(8, dtype=jnp.uint8)[None, :]) & 1
-    return exp.reshape(-1)[:m] > 0
-
-
 def grid_lookup(grid_tuple, pts):
     """Device-side candidate test: (N, 3) xyz -> (N,) bool.
 

@@ -261,9 +261,7 @@ def render_rays_compact(
         plan = plan_compaction(cand, capacity)
     else:
         plan = resize_plan(plan, capacity)
-    n_dropped = (
-        jnp.maximum(plan.n_valid - capacity, 0) + plan.n_lost
-    ).astype(jnp.int32)
+    n_dropped = jnp.maximum(plan.n_valid - capacity, 0).astype(jnp.int32)
 
     model_nc = (
         model.clone(compact_fraction=None)
@@ -369,8 +367,6 @@ def plan_rays_compact(
     n_samples: int,
     perturb: float = 0.0,
     cap_max: int | None = None,
-    two_level_frac: float = 0.0,
-    cand_bits: jnp.ndarray | None = None,
 ):
     """Capacity pre-pass for :func:`render_rays_compact`: the body-grid
     cull + ONE full-size compaction plan over the view's deterministic
@@ -381,50 +377,21 @@ def plan_rays_compact(
     is impossible by construction.
 
     ``cap_max`` defaults to the full sample count (never drops).
-
-    ``two_level_frac`` > 0 builds the SAME exact plan via
-    :func:`plan_compaction_two_level` with a block buffer of
-    ``two_level_frac * M`` rows: its gather_idx scatter runs at that
-    size instead of M (the M-sized scatter is ~74 ms at the 512^2
-    eval workload).  Safety: contiguous in-body runs inflate to at most
-    ~1.5x the candidate count in 8-blocks, so 0.5 leaves >1.5x headroom
-    over the bench's 21% candidate fraction; if kept blocks ever exceed
-    the buffer, ``n_valid`` (always the full-mask count) exceeds the
-    rows actually planned and the renderer's n_dropped==0 assert fires
-    instead of silently dropping.
     """
-    from mpsnerf_tpu.ops.body_grid import grid_lookup, unpack_mask_bits
-    from mpsnerf_tpu.ops.compact import (
-        plan_compaction, plan_compaction_two_level,
-    )
+    from mpsnerf_tpu.ops.body_grid import grid_lookup
+    from mpsnerf_tpu.ops.compact import plan_compaction
     from mpsnerf_tpu.smpl.lbs import PoseTransforms, world_to_smpl
 
-    if cand_bits is not None:
-        # host-computed candidate bits (ops/body_grid.py:host_sample_mask,
-        # perturb=0 only): skips the on-device sample expansion + warp +
-        # grid_lookup — ~87 ms of per-index gathers at the 12.2M-sample
-        # eval workload — for an M/8-byte upload + elementwise unpack.
-        # Rays/smpl/tp may be None: the bits fully determine the plan.
-        m = (
-            rays_o.shape[0] * n_samples if rays_o is not None
-            else cand_bits.shape[0] * 8
-        )
-        cand = unpack_mask_bits(cand_bits, m).astype(jnp.int32)
-    else:
-        m = rays_o.shape[0] * n_samples
-        z_vals = stratified_z_vals(
-            key, near[:, None], far[:, None], n_samples, perturb
-        )
-        pts = (
-            rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., None]
-        ).reshape(-1, 3)
-        tf_t = PoseTransforms.create(smpl, tp_input["params"])
-        q = world_to_smpl(pts, tf_t.R, tf_t.Th)
-        cand = grid_lookup(tp_input["body_grid"], q).astype(jnp.int32)
-    if two_level_frac:
-        block = 8
-        bcap = max(block, int(m * two_level_frac) // block * block)
-        return plan_compaction_two_level(cand, cap_max or m, bcap, block)
+    m = rays_o.shape[0] * n_samples
+    z_vals = stratified_z_vals(
+        key, near[:, None], far[:, None], n_samples, perturb
+    )
+    pts = (
+        rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., None]
+    ).reshape(-1, 3)
+    tf_t = PoseTransforms.create(smpl, tp_input["params"])
+    q = world_to_smpl(pts, tf_t.R, tf_t.Th)
+    cand = grid_lookup(tp_input["body_grid"], q).astype(jnp.int32)
     return plan_compaction(cand, cap_max or m)
 
 

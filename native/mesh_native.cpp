@@ -39,165 +39,6 @@
 extern "C" {
 
 // ---------------------------------------------------------------------------
-// host-side ray-sample candidate mask (the eval plan pre-pass)
-// ---------------------------------------------------------------------------
-//
-// Computes the body-grid candidate bit for every (ray, sample) of a view
-// on the HOST, so the device plan pre-pass can skip its ~87 ms
-// grid_lookup (12.2M one-per-sample gathers at the 9 ns/idx v5e floor,
-// ROADMAP "host DDA" lever) and consume a 1-bit/sample upload instead.
-// Only valid for deterministic samples (perturb=0 — the eval protocol);
-// replicates ops/composite.py:stratified_z_vals + smpl/lbs.py:
-// world_to_smpl + ops/body_grid.py:grid_lookup in double precision.
-//
-// Conservative by construction: a sample is marked if ANY voxel
-// overlapping the eps-ball around its position is occupied, so fp32
-// rounding drift between XLA and this code can only ADD candidates
-// (extra candidates are culled exactly by the in-render 5 cm mask /
-// fine pre-pass; a MISSED true candidate would corrupt the pixel).
-// eps=1e-4 m is ~1000x the fp32 error of the 10-flop chain at ~1 m
-// coordinate scale and 0.5% of the 2 cm voxel.
-//
-// out: packed LSB-first bits, bit index = ray * n_samples + sample;
-// rays are byte-aligned per thread split only when n_samples % 8 == 0
-// (asserted by the python wrapper).
-
-namespace {
-
-inline void ray_mask_rows(
-    const float* rays_o, const float* rays_d,
-    const float* near_, const float* far_,
-    int n_samples, const float* Rm, const float* Th,
-    const uint8_t* grid, int gd, int gh, int gw,
-    const float* origin, double voxel, double eps,
-    int r0, int r1, uint8_t* out) {
-    const double inv_s = n_samples > 1 ? 1.0 / (n_samples - 1) : 0.0;
-    // grid extent in smpl coordinates, eps-dilated (slab test below)
-    const int gdim[3] = {gw, gh, gd};  // xyz order
-    for (int r = r0; r < r1; ++r) {
-        const double ox = rays_o[3 * r], oy = rays_o[3 * r + 1],
-                     oz = rays_o[3 * r + 2];
-        const double dx = rays_d[3 * r], dy = rays_d[3 * r + 1],
-                     dz = rays_d[3 * r + 2];
-        const double nr = near_[r], fr = far_[r];
-        // q(z) = ((o + z*d) - Th) @ R  =  o' + z * d'   (R row-major,
-        // row-vector convention; double reassociation error ~1e-12 m is
-        // far beneath the 1e-4 m conservativeness eps)
-        const double wx = ox - Th[0], wy = oy - Th[1], wz = oz - Th[2];
-        double oq[3], dq[3];
-        for (int j = 0; j < 3; ++j) {
-            oq[j] = wx * Rm[j] + wy * Rm[3 + j] + wz * Rm[6 + j];
-            dq[j] = dx * Rm[j] + dy * Rm[3 + j] + dz * Rm[6 + j];
-        }
-        // slab test: z-interval where q(z) stays inside the eps-dilated
-        // grid box [origin - eps, origin + dim*voxel + eps] — samples
-        // outside cannot hit an occupied voxel and are skipped wholesale
-        // (most of a view's samples at the eval workload)
-        double z_lo = -1e300, z_hi = 1e300;
-        bool empty = false;
-        for (int j = 0; j < 3 && !empty; ++j) {
-            const double b0 = origin[j] - eps;
-            const double b1 = origin[j] + gdim[j] * voxel + eps;
-            if (std::fabs(dq[j]) < 1e-300) {
-                if (oq[j] < b0 || oq[j] > b1) empty = true;
-            } else {
-                double t0 = (b0 - oq[j]) / dq[j];
-                double t1 = (b1 - oq[j]) / dq[j];
-                if (t0 > t1) std::swap(t0, t1);
-                if (t0 > z_lo) z_lo = t0;
-                if (t1 < z_hi) z_hi = t1;
-                if (z_lo > z_hi) empty = true;
-            }
-        }
-        if (empty) continue;
-        // sample indices whose z = nr + (fr-nr)*s/(S-1) lies in
-        // [z_lo, z_hi] (z monotone when fr > nr; else test every s)
-        int s_begin = 0, s_end = n_samples;
-        const double span = fr - nr;
-        if (span > 0.0 && n_samples > 1) {
-            const double u_lo = (z_lo - nr) / span, u_hi = (z_hi - nr) / span;
-            if (u_hi < 0.0 || u_lo > 1.0) continue;
-            s_begin = (int)std::ceil(u_lo * (n_samples - 1) - 1e-12);
-            s_end = (int)std::floor(u_hi * (n_samples - 1) + 1e-12) + 1;
-            if (s_begin < 0) s_begin = 0;
-            if (s_end > n_samples) s_end = n_samples;
-        }
-        const double inv_voxel = 1.0 / voxel;
-        const double ev = eps * inv_voxel;
-        for (int s = s_begin; s < s_end; ++s) {
-            const double t = s * inv_s;
-            const double z = nr * (1.0 - t) + fr * t;
-            const double g0 = (oq[0] + z * dq[0] - origin[0]) * inv_voxel;
-            const double g1 = (oq[1] + z * dq[1] - origin[1]) * inv_voxel;
-            const double g2 = (oq[2] + z * dq[2] - origin[2]) * inv_voxel;
-            const int x_lo = (int)std::floor(g0 - ev),
-                      x_hi = (int)std::floor(g0 + ev);
-            const int y_lo = (int)std::floor(g1 - ev),
-                      y_hi = (int)std::floor(g1 + ev);
-            const int v_lo = (int)std::floor(g2 - ev),
-                      v_hi = (int)std::floor(g2 + ev);
-            int hit = 0;
-            if (x_lo == x_hi && y_lo == y_hi && v_lo == v_hi) {
-                // fast path (~all samples: the eps window crosses a voxel
-                // boundary only within 2*eps/voxel = 1% of positions)
-                hit = (x_lo >= 0 && x_lo < gw && y_lo >= 0 && y_lo < gh
-                       && v_lo >= 0 && v_lo < gd)
-                      && grid[(size_t)(v_lo * gh + y_lo) * gw + x_lo];
-            } else {
-                for (int zi = v_lo; zi <= v_hi && !hit; ++zi) {
-                    if (zi < 0 || zi >= gd) continue;
-                    for (int yi = y_lo; yi <= y_hi && !hit; ++yi) {
-                        if (yi < 0 || yi >= gh) continue;
-                        for (int xi = x_lo; xi <= x_hi; ++xi) {
-                            if (xi < 0 || xi >= gw) continue;
-                            if (grid[(size_t)(zi * gh + yi) * gw + xi]) {
-                                hit = 1;
-                                break;
-                            }
-                        }
-                    }
-                }
-            }
-            if (hit) {
-                const size_t bit = (size_t)r * n_samples + s;
-                out[bit >> 3] |= (uint8_t)(1u << (bit & 7));
-            }
-        }
-    }
-}
-
-}  // namespace
-
-void ray_sample_mask(
-    const float* rays_o, const float* rays_d,   // (R, 3) world
-    const float* near_, const float* far_,      // (R,)
-    int n_rays, int n_samples,
-    const float* Rm, const float* Th,           // (3,3) row-major, (3,)
-    const uint8_t* grid, int gd, int gh, int gw,  // (d, h, w) z,y,x order
-    const float* origin, float voxel,           // grid frame
-    float eps, int n_threads,
-    uint8_t* out) {                             // (R*S+7)/8, zeroed here
-    std::memset(out, 0, ((size_t)n_rays * n_samples + 7) / 8);
-    if (n_threads <= 0) {
-        n_threads = (int)std::thread::hardware_concurrency();
-        if (n_threads <= 0) n_threads = 1;
-    }
-    if (n_threads > n_rays) n_threads = n_rays > 0 ? n_rays : 1;
-    std::vector<std::thread> pool;
-    const int chunk = (n_rays + n_threads - 1) / n_threads;
-    for (int i = 0; i < n_threads; ++i) {
-        const int r0 = i * chunk;
-        const int r1 = r0 + chunk < n_rays ? r0 + chunk : n_rays;
-        if (r0 >= r1) break;
-        pool.emplace_back(
-            ray_mask_rows, rays_o, rays_d, near_, far_, n_samples, Rm, Th,
-            grid, gd, gh, gw, origin, (double)voxel, (double)eps, r0, r1,
-            out);
-    }
-    for (auto& th : pool) th.join();
-}
-
-// ---------------------------------------------------------------------------
 // iso-surface extraction
 // ---------------------------------------------------------------------------
 

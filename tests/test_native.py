@@ -179,108 +179,3 @@ class TestRasterizer:
         tris = np.array([[0, 1, 2]], np.int32)
         p2f, _, _ = rasterize_mesh(verts, tris, 64, 64)
         assert (p2f == -1).all()
-
-
-class TestRaySampleMask:
-    """Host-side candidate pre-pass (native ``ray_sample_mask``) vs the
-    device ``grid_lookup`` it replaces (ops/body_grid.py).  Contract:
-    the host mask may only EXCEED the device mask (eps-ball dilation at
-    voxel boundaries — a superset is pixel-exact downstream because the
-    5 cm mask culls non-body candidates either way); a device-marked
-    sample missed by the host would corrupt a pixel and must never
-    happen."""
-
-    def _scene(self):
-        import jax
-        import jax.numpy as jnp
-
-        from mpsnerf_tpu.data import attach_body_grid
-        from mpsnerf_tpu.data.synthetic import SyntheticHumanDataset
-
-        ds = SyntheticHumanDataset(
-            n_poses=1, n_cameras=4, image_size=64, n_rays=16,
-            n_verts=400, num_instances=1,
-        )
-        item = ds.get_item(0, instance_idx=0)
-        attach_body_grid(item)
-        return item
-
-    def _device_mask(self, item, ro, rd, nr, fr, S):
-        import jax
-        import jax.numpy as jnp
-
-        from mpsnerf_tpu.ops.body_grid import grid_lookup
-        from mpsnerf_tpu.ops.composite import stratified_z_vals
-
-        R = jnp.asarray(item["params"]["R"]).reshape(3, 3)
-        Th = jnp.asarray(item["params"]["Th"]).reshape(1, 3)
-        z = stratified_z_vals(
-            jax.random.PRNGKey(0), jnp.asarray(nr)[:, None],
-            jnp.asarray(fr)[:, None], S, 0.0,
-        )
-        pts = (
-            jnp.asarray(ro)[:, None, :]
-            + jnp.asarray(rd)[:, None, :] * z[..., None]
-        ).reshape(-1, 3)
-        q = (pts - Th) @ R
-        return np.asarray(grid_lookup(item["body_grid"], q))
-
-    def test_matches_device_grid_lookup(self):
-        from mpsnerf_tpu.ops.body_grid import (
-            host_sample_mask, unpack_mask_bits,
-        )
-
-        item = self._scene()
-        S = 16
-        k = 0
-        ro = np.asarray(item["ray_o_all"][k], np.float32)
-        rd = np.asarray(item["ray_d_all"][k], np.float32)
-        nr = np.asarray(item["near_all"][k], np.float32).reshape(-1)
-        fr = np.asarray(item["far_all"][k], np.float32).reshape(-1)
-        bits = host_sample_mask(
-            item["body_grid"], ro, rd, nr, fr, S,
-            item["params"]["R"], item["params"]["Th"],
-        )
-        host = np.asarray(unpack_mask_bits(bits, ro.shape[0] * S))
-        dev = self._device_mask(item, ro, rd, nr, fr, S)
-        assert dev.sum() > 0, "degenerate scene: no candidates at all"
-        missed = np.logical_and(dev, ~host)
-        assert missed.sum() == 0, (
-            f"host pre-pass missed {missed.sum()} device-marked samples"
-        )
-        # dilation slack is bounded: eps=1e-4 m on 2 cm voxels flips only
-        # razor-edge samples
-        extra = np.logical_and(host, ~dev).sum()
-        assert extra <= max(8, int(0.01 * dev.sum())), int(extra)
-
-    def test_padding_rays_yield_zero_bits(self):
-        """The eval path plans on padded ray buffers (origin 1e6,
-        near=0, far=1): padding must contribute no candidates."""
-        from mpsnerf_tpu.ops.body_grid import (
-            host_sample_mask, unpack_mask_bits,
-        )
-
-        item = self._scene()
-        S = 8
-        ro = np.full((32, 3), 1e6, np.float32)
-        rd = np.tile(np.array([1.0, 0, 0], np.float32), (32, 1))
-        nr = np.zeros(32, np.float32)
-        fr = np.ones(32, np.float32)
-        bits = host_sample_mask(
-            item["body_grid"], ro, rd, nr, fr, S,
-            item["params"]["R"], item["params"]["Th"],
-        )
-        assert not bits.any()
-
-    def test_bit_packing_order(self):
-        """LSB-first, bit index = ray * n_samples + sample — pinned by
-        unpack_mask_bits round-tripping a hand-made pattern."""
-        import jax.numpy as jnp
-
-        from mpsnerf_tpu.ops.body_grid import unpack_mask_bits
-
-        bits = np.array([0b00000101, 0b10000000], np.uint8)
-        m = np.asarray(unpack_mask_bits(jnp.asarray(bits), 16))
-        expect = np.zeros(16, bool)
-        expect[[0, 2, 15]] = True
-        np.testing.assert_array_equal(m, expect)

@@ -311,109 +311,6 @@ class TestActivations:
         assert float(wide_sigmoid(jnp.asarray(-80.0))) < 0.0
 
 
-class TestBlockPlans:
-    """plan_compaction_blocks (superset) and plan_compaction_two_level
-    (exact, built from N/block-sized ops) vs the row-level plan."""
-
-    def _runs_mask(self, rng, n, block=8):
-        # contiguous in-body runs like ray samples crossing the body
-        m = np.zeros(n, np.int32)
-        pos = 0
-        while pos < n:
-            gap = int(rng.integers(5, 60))
-            run = int(rng.integers(1, 45))
-            pos += gap
-            m[pos:pos + run] = 1
-            pos += run
-        return m
-
-    def test_blocks_superset_and_layout(self):
-        from mpsnerf_tpu.ops.compact import (
-            compact, plan_compaction, plan_compaction_blocks,
-        )
-
-        rng = np.random.default_rng(0)
-        n, block = 4096, 8
-        m = self._runs_mask(rng, n, block)
-        cap = n  # full capacity: nothing dropped
-        p = plan_compaction_blocks(jnp.asarray(m), cap, block)
-
-        mb = m.reshape(-1, block).max(1)
-        assert int(p.n_valid) == int(mb.sum()) * block
-        take = np.asarray(p.take)
-        # take == exact block membership: superset of the row mask
-        np.testing.assert_array_equal(
-            take.reshape(-1, block).max(1), mb.astype(bool)
-        )
-        assert (take.astype(np.int32) >= m).all()
-        # kept slots enumerate kept blocks' rows in source order
-        gidx = np.asarray(p.gather_idx)[: int(p.n_valid)]
-        expected = (
-            np.flatnonzero(mb)[:, None] * block + np.arange(block)
-        ).reshape(-1)
-        np.testing.assert_array_equal(gidx, expected)
-        # compact() then re-masking by the ROW mask (take is only block
-        # membership) recovers exactly the valid rows
-        x = rng.normal(size=(n, 3)).astype(np.float32)
-        cx = np.asarray(compact(p, jnp.asarray(x)))[: int(p.n_valid)]
-        ct = m[gidx] > 0
-        np.testing.assert_array_equal(cx[ct], x[m > 0])
-
-    def test_two_level_equals_exact(self):
-        from mpsnerf_tpu.ops.compact import (
-            expand_gather, expand_scatter, plan_compaction,
-            plan_compaction_two_level, resize_plan,
-        )
-
-        rng = np.random.default_rng(1)
-        n, block = 4096, 8
-        m = self._runs_mask(rng, n, block)
-        mb = m.reshape(-1, block).max(1)
-        bcap = int(mb.sum()) * block + 2 * block  # headroom
-        for cap in (n, 1024):
-            two = plan_compaction_two_level(jnp.asarray(m), cap, bcap, block)
-            assert int(two.n_lost) == 0
-            # full-capacity contract (composed at min(cap, bcap), padded
-            # with the drop sentinel): any bucket resize works
-            assert two.gather_idx.shape == (cap,)
-            # slots beyond the planned count hold the sentinel n
-            assert (np.asarray(two.gather_idx)[int(two.n_valid):] == n).all()
-            eff = min(cap, bcap)
-            exact = resize_plan(plan_compaction(jnp.asarray(m), cap), eff)
-            assert int(two.n_valid) == int(exact.n_valid)
-            nv = min(int(exact.n_valid), eff)
-            np.testing.assert_array_equal(
-                np.asarray(two.gather_idx)[:nv],
-                np.asarray(exact.gather_idx)[:nv],
-            )
-            np.testing.assert_array_equal(
-                np.asarray(two.take), np.asarray(exact.take)
-            )
-            # row-level slots agree on taken rows
-            tk = np.asarray(exact.take)
-            np.testing.assert_array_equal(
-                np.asarray(two.slot)[tk], np.asarray(exact.slot)[tk]
-            )
-            # both expand forms round-trip identically (resized to the
-            # bucket, the realistic caller pattern)
-            buf = rng.normal(size=(eff, 2)).astype(np.float32)
-            two_r = resize_plan(two, eff)
-            np.testing.assert_array_equal(
-                np.asarray(expand_scatter(two_r, jnp.asarray(buf), -1.0)),
-                np.asarray(expand_scatter(exact, jnp.asarray(buf), -1.0)),
-            )
-            np.testing.assert_array_equal(
-                np.asarray(expand_gather(two_r, jnp.asarray(buf), -1.0)),
-                np.asarray(expand_gather(exact, jnp.asarray(buf), -1.0)),
-            )
-        # block-buffer overflow is REPORTED, not silent: a tiny buffer
-        # loses rows and n_lost says how many
-        tight = int(mb.sum()) * block - 2 * block
-        lossy = plan_compaction_two_level(jnp.asarray(m), n, tight, block)
-        assert int(lossy.n_lost) > 0
-        assert int(lossy.n_valid) == int(m.sum())
-
-
 class TestTransformerOutViews:
     def test_out_views_matches_full_forward(self):
         """out_views computes exactly the full forward's first rows

@@ -148,50 +148,3 @@ class TestViewRenderer:
         out = r.render_view(variables, i0, i0, 1)  # i0 now a target
         assert "body_grid" in i0["_device_cache"]
         assert out.shape[1] == 3
-
-    def test_two_level_plan_matches_default(self, setup):
-        """plan_two_level_frac builds the identical plan — rendered
-        pixels must be bit-equal to the default exact-plan path."""
-        ds, items, smpl, model, variables = setup
-        r0 = ViewRenderer(model, lambda g: smpl, chunk=512, n_samples=8,
-                          global_compact=True)
-        r2 = ViewRenderer(model, lambda g: smpl, chunk=512, n_samples=8,
-                          global_compact=True, plan_two_level_frac=0.75)
-        a = r0.render_view(variables, items[0], items[0], 1)
-        b = r2.render_view(variables, items[0], items[0], 1)
-        np.testing.assert_array_equal(a, b)
-
-    def test_two_level_plan_overflow_recovers_exactly(self, setup):
-        """An undersized block buffer surfaces through n_lost ->
-        n_dropped, and finish_view recovers by re-dispatching on the
-        exact one-level plan — the image must match the default path
-        bit-for-bit, never silently drop rows or abort the protocol."""
-        ds, items, smpl, model, variables = setup
-        r = ViewRenderer(model, lambda g: smpl, chunk=512, n_samples=8,
-                         global_compact=True, plan_two_level_frac=0.001)
-        r0 = ViewRenderer(model, lambda g: smpl, chunk=512, n_samples=8,
-                          global_compact=True)
-        a = r.render_view(variables, items[0], items[0], 1)
-        b = r0.render_view(variables, items[0], items[0], 1)
-        np.testing.assert_array_equal(a, b)
-
-    def test_host_dda_matches_default(self, setup):
-        """host_dda computes the plan's candidate mask on host (C++
-        ray_sample_mask) instead of on device — the rendered image must
-        match the default global path exactly (the host mask is a
-        conservative superset; extra candidates fail the exact 5 cm mask
-        downstream and composite identically)."""
-        ds, items, smpl, model, variables = setup
-        r0 = ViewRenderer(model, lambda g: smpl, chunk=512, n_samples=8,
-                          global_compact=True)
-        rd = ViewRenderer(model, lambda g: smpl, chunk=512, n_samples=8,
-                          global_compact=True, host_dda=True)
-        a = r0.render_view(variables, items[0], items[0], 1)
-        b = rd.render_view(variables, items[0], items[0], 1)
-        np.testing.assert_array_equal(a, b)
-        # and the async protocol path (where the host mask is meant to
-        # overlap the previous view's render)
-        pending = rd.render_view_async(variables, items[0], items[0], 2)
-        c = rd.finish_view(pending)
-        c0 = r0.render_view(variables, items[0], items[0], 2)
-        np.testing.assert_array_equal(c, c0)

@@ -84,29 +84,6 @@ def main():
     pipe_times.append(time.time() - pending[1])
     pipe_total = time.time() - tp0
 
-    # pipelined + host-DDA: the plan's candidate mask computed on HOST
-    # (C++ ray_sample_mask) while the device renders the previous view —
-    # the ~87 ms on-device grid_lookup leaves the critical path entirely
-    dda_times, dda_total = [], 0.0
-    if os.environ.get("MPSNERF_PROBE_HOSTDDA", "1") == "1":
-        rd_ = ViewRenderer(model, lambda g: smpl, n_samples=128,
-                           host_dda=True)
-        rd_.prewarm(variables, items[0], items[0], k=1)
-        rd_.render_view(variables, items[0], items[0], 1)
-        tp0 = time.time()
-        pending = None
-        for it, k in seq:
-            tv = time.time()
-            h = rd_.render_view_async(variables, it, it, k)
-            if pending is not None:
-                ph, ptv = pending
-                rgb = rd_.finish_view(ph)
-                assert np.isfinite(rgb).all()
-                dda_times.append(time.time() - ptv)
-            pending = (h, tv)
-        rgb = rd_.finish_view(pending[0])
-        dda_times.append(time.time() - pending[1])
-        dda_total = time.time() - tp0
 
     med = float(np.median(times))
     out = {
@@ -137,18 +114,6 @@ def main():
         ),
         "overflow_retries": r.n_overflow_chunks,
     }
-    if dda_times:
-        out.update({
-            "hostdda_pipelined_view_ms": round(
-                dda_total / n_views * 1e3, 1
-            ),
-            "hostdda_pipelined_median_view_ms": round(
-                float(np.median(dda_times)) * 1e3, 1
-            ),
-            "hostdda_pipelined_rays_per_sec": round(
-                SIZE * SIZE * n_views / dda_total, 1
-            ),
-        })
     os.makedirs("artifacts", exist_ok=True)
     with open("artifacts/eval_latency.json", "w") as f:
         json.dump(out, f, indent=1)

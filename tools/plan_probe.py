@@ -186,15 +186,12 @@ def main():
 
     timed(expand_gather, slot, take, label="expand gather buf[slot] (12.2M)")
 
-    # ---- full-plan formulations (round 3): the exact row plan vs the
-    # block-padded superset plan vs the exact two-level plan.  If the
-    # two-level total beats "exact row plan" by ~40+ ms (its scatter runs
-    # at block_capacity instead of N), integrate it into
-    # plan_rays_compact; tests/test_ops.py::TestBlockPlans pins the
-    # composition exactness.
-    from mpsnerf_tpu.ops.compact import (
-        plan_compaction, plan_compaction_blocks, plan_compaction_two_level,
-    )
+    # ---- full-plan formulation (the shipped exact row plan).  The
+    # block-superset and two-level variants measured here in rounds 3-5
+    # were DELETED round 5: on-chip the two-level plan was 276 ms vs
+    # 77 ms for the exact plan at the 12.2M workload (bench end-to-end
+    # 200k vs 277k rays/s) — history in BASELINE.md / ROADMAP.md.
+    from mpsnerf_tpu.ops.compact import plan_compaction
 
     def plan_sum(p):
         return (
@@ -205,19 +202,6 @@ def main():
     timed(
         jax.jit(lambda m: plan_sum(plan_compaction(m, CAPACITY))),
         cand, label="exact row plan (cumsum+scatter @12.2M)",
-    )
-    timed(
-        jax.jit(lambda m: plan_sum(plan_compaction_blocks(m, CAPACITY))),
-        cand, label="block superset plan (B=8)",
-    )
-    bcap = (int(CAPACITY * 14 // 10) // 16384) * 16384
-    timed(
-        jax.jit(
-            lambda m: plan_sum(
-                plan_compaction_two_level(m, CAPACITY, bcap)
-            )
-        ),
-        cand, label=f"two-level exact plan (bcap {bcap})",
     )
 
 

@@ -29,9 +29,6 @@ done
 echo "=== bench: default (LBS fused table + transformer out_views) ==="
 $PY bench.py
 
-echo "=== bench: two-level plan A/B ==="
-MPSNERF_BENCH_PLAN2L=0.5 MPSNERF_BENCH_TRAIN=0 $PY bench.py
-
 echo "=== bench: fp32 / cull-off rows for BASELINE.md ==="
 MPSNERF_BENCH_DTYPE=float32 MPSNERF_BENCH_TRAIN=0 $PY bench.py
 MPSNERF_BENCH_CULL=0 MPSNERF_BENCH_TRAIN=0 $PY bench.py
@@ -39,7 +36,7 @@ MPSNERF_BENCH_CULL=0 MPSNERF_BENCH_TRAIN=0 $PY bench.py
 echo "=== tail stage attribution ==="
 PYTHONPATH=/root/repo:/root/.axon_site $PY tools/tail_stage_probe.py
 
-echo "=== block-gather rates (two-level plan go/no-go detail) ==="
+echo "=== block-gather rates ==="
 PYTHONPATH=/root/repo:/root/.axon_site $PY tools/block_gather_probe.py
 
 echo "=== plan formulations ==="

@@ -105,12 +105,6 @@ echo "device LIVE — starting batch"
 run_stage "bench: default (LBS fused table + transformer out_views)" \
   $PY bench.py
 
-run_stage "bench: two-level plan A/B" \
-  env MPSNERF_BENCH_PLAN2L=0.5 MPSNERF_BENCH_TRAIN=0 $PY bench.py
-
-run_stage "bench: host-DDA candidate mask A/B" \
-  env MPSNERF_BENCH_HOSTDDA=1 MPSNERF_BENCH_TRAIN=0 $PY bench.py
-
 run_stage "bench: fp32 row for BASELINE.md" \
   env MPSNERF_BENCH_DTYPE=float32 MPSNERF_BENCH_TRAIN=0 $PY bench.py
 
@@ -120,13 +114,10 @@ run_stage "bench: cull-off row for BASELINE.md" \
 run_stage "tail stage attribution" \
   env PYTHONPATH=/root/repo:/root/.axon_site $PY tools/tail_stage_probe.py
 
-run_stage "block-gather rates (two-level plan go/no-go detail)" \
-  env PYTHONPATH=/root/repo:/root/.axon_site $PY tools/block_gather_probe.py
-
 run_stage "plan formulations" \
   env PYTHONPATH=/root/repo:/root/.axon_site $PY tools/plan_probe.py
 
-run_stage "eval latency artifact (sequential + pipelined + hostdda)" \
+run_stage "eval latency artifact (sequential + pipelined)" \
   env PYTHONPATH=/root/repo:/root/.axon_site $PY tools/eval_latency_probe.py
 
 run_stage "serving latency artifact (export + direct + HTTP + eval ref)" \

@@ -339,23 +339,26 @@ def main():
         )
         # reps sized so each timed window is ~1 s: the tunnel adds
         # ~100-150 ms RPC latency per SYNC (measured round 5,
-        # tools/train_timing_probe.py) — short windows let one flap
-        # dominate the mean (the r04 360.7 ms anomaly's noise floor)
+        # tools/train_timing_probe.py).  TWO chained windows, report the
+        # MIN: one tunnel stall inside a single window produced the
+        # 192.8-vs-85.8 ms same-HEAD spread of 2026-08-19 — the min of
+        # two windows is the step cost, the max is the flap
         for name, fn, reps in (
-            ("plain", trainer._step_plain, 10),
+            ("plain", trainer._step_plain, 5),
             ("smooth", trainer._step_smooth, 3),
         ):
             state, terms, _ = fn(trainer.state, *t_args)  # compile
             trainer.state = state
             np.asarray(terms.total)  # true sync on the tunneled backend
-            t0 = time.time()
-            for _ in range(reps):
-                state, terms, _ = fn(trainer.state, *t_args)
-                trainer.state = state
-            np.asarray(terms.total)
-            train_ms[f"train_step_ms_{name}"] = round(
-                (time.time() - t0) / reps * 1000.0, 1
-            )
+            windows = []
+            for _ in range(2):
+                t0 = time.time()
+                for _ in range(reps):
+                    state, terms, _ = fn(trainer.state, *t_args)
+                    trainer.state = state
+                np.asarray(terms.total)
+                windows.append((time.time() - t0) / reps * 1000.0)
+            train_ms[f"train_step_ms_{name}"] = round(min(windows), 1)
 
     print(
         json.dumps(

@@ -910,6 +910,21 @@ class ServedRenderer:
                     jnp.full((self.mesh_chunk, 3), 1e6, jnp.float32),
                 ))
                 warmed.append("mesh")
+            if self._has_anim:
+                # /animate compiles two more graphs on first use (the
+                # canonical-mesh twin and the bake/query graph) — on a
+                # real chip that first request measured 118 s
+                # (artifacts/serve_latency.json); pre-pay both
+                far_pts = jnp.full((self.mesh_chunk, 3), 1e6, jnp.float32)
+                np.asarray(self._mesh_can.call(
+                    self.variables, smpl, sp, tp, latent, far_pts,
+                ))
+                warmed.append("mesh_canonical")
+                bw, _, _ = self._anim.call(
+                    self.variables, smpl, sp, latent, far_pts,
+                )
+                np.asarray(bw)
+                warmed.append("anim_query")
         return warmed
 
     # -- rendering -------------------------------------------------------

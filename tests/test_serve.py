@@ -621,7 +621,7 @@ class TestWarmup:
         warm = load_serving_bundle(bundle)
         warmed = warm.warmup()
         assert set(warmed) >= {"encode", "render_chunk", "global",
-                               "mesh"}
+                               "mesh", "mesh_canonical", "anim_query"}
         cold = load_serving_bundle(bundle)
         a = warm.render_view(dict(items[0]), dict(items[0]), 0)
         b = cold.render_view(dict(items[0]), dict(items[0]), 0)

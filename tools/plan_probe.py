@@ -204,6 +204,22 @@ def main():
         cand, label="exact row plan (cumsum+scatter @12.2M)",
     )
 
+    # block-superset inflation: what a block-granular plan would make
+    # the point-scaled stages pay.  Measured 2026-08-19 (bench scene):
+    # B=4 1.078, B=8 1.169, B=16 1.319 — rejected, see ROADMAP.md.
+    @jax.jit
+    def superset(m):
+        exact = jnp.sum(m)
+        return exact, [
+            jnp.sum(m.reshape(-1, B).any(axis=1).astype(jnp.int32)) * B
+            for B in (4, 8, 16)
+        ]
+
+    exact, sups = superset(cand)
+    for B, s in zip((4, 8, 16), sups):
+        print(f"block-superset B={B:<2d} inflation"
+              f"{'':22s} {int(s) / int(exact):8.3f} x")
+
 
 if __name__ == "__main__":
     main()

@@ -44,6 +44,8 @@ def config_parser() -> argparse.ArgumentParser:
 
     # rendering options
     p.add_argument("--N_samples", type=int, default=64)
+    # consumed here (train step + eval renderer hierarchical pass) even
+    # though the reference parses it and never uses it — 0 = parity
     p.add_argument("--N_importance", type=int, default=0)
     p.add_argument("--perturb", type=float, default=1.0)
     p.add_argument("--use_viewdirs", action="store_true")

@@ -116,6 +116,7 @@ class ViewRenderer:
         smpl_selector: Callable,  # gender int -> SMPLModel
         chunk: int = 4096,
         n_samples: int = 128,
+        n_importance: int = 0,
         white_bkgd: bool = False,
         eval_compact_fraction: float = 0.125,
         shuffle_rays: bool = True,
@@ -138,6 +139,10 @@ class ViewRenderer:
             global_compact = False
             box_cull = False  # the AABB cull's exactness proof also
             #                   rests on the -80 mask semantics
+        if n_importance > 0:
+            # the global-compaction plan covers only the stratified z
+            # ladder; the hierarchical union must take the chunked path
+            global_compact = False
         self.fine = fine
         self.box_cull = box_cull
         if (
@@ -149,11 +154,13 @@ class ViewRenderer:
         self.smpl_selector = smpl_selector
         self.chunk = chunk
         self.n_samples = n_samples
+        self.n_importance = n_importance
         self.white_bkgd = white_bkgd
         self.shuffle_rays = shuffle_rays
 
         model_ = model
         n_samples_ = n_samples
+        n_imp_ = n_importance
         white_ = white_bkgd
 
         @jax.jit
@@ -161,7 +168,7 @@ class ViewRenderer:
             out = render_rays(
                 model_, variables, smpl, sp, tp, latent, ro, rd, nr, fr,
                 jax.random.PRNGKey(0), n_samples=n_samples_, perturb=0.0,
-                train=False, white_bkgd=white_,
+                train=False, white_bkgd=white_, n_importance=n_imp_,
             )
             return out.rgb_map, out.acc_map, out.raw.n_dropped
 
@@ -181,7 +188,7 @@ class ViewRenderer:
             out = render_rays(
                 model_nc, variables, smpl, sp, tp, latent, ro, rd, nr, fr,
                 jax.random.PRNGKey(0), n_samples=n_samples_, perturb=0.0,
-                train=False, white_bkgd=white_,
+                train=False, white_bkgd=white_, n_importance=n_imp_,
             )
             return out.rgb_map, out.acc_map, out.raw.n_dropped
 
@@ -646,6 +653,7 @@ def run_thuman_eval(
 
     renderer = ViewRenderer(
         model, smpl_selector, chunk=args.chunk, n_samples=args.N_samples,
+        n_importance=args.N_importance,
         white_bkgd=args.white_bkgd,
     )
 
@@ -749,6 +757,7 @@ def run_h36m_eval(
     # — the capacity must match or valid samples get dropped
     renderer = ViewRenderer(
         model, smpl_selector, chunk=args.chunk, n_samples=args.N_samples,
+        n_importance=args.N_importance,
         white_bkgd=args.white_bkgd, eval_compact_fraction=0.5,
     )
 
@@ -802,6 +811,7 @@ def run_legacy_test(
     os.makedirs(savedir, exist_ok=True)
     renderer = ViewRenderer(
         model, smpl_selector, chunk=args.chunk, n_samples=args.N_samples,
+        n_importance=args.N_importance,
         white_bkgd=args.white_bkgd,
     )
     to8b = lambda x: (255 * np.clip(x, 0, 1)).astype(np.uint8)
@@ -883,7 +893,8 @@ def run_synthetic_eval(
 
     renderer = ViewRenderer(
         model, smpl_selector, chunk=min(args.chunk, 8192),
-        n_samples=args.N_samples, white_bkgd=args.white_bkgd,
+        n_samples=args.N_samples,
+        n_importance=args.N_importance, white_bkgd=args.white_bkgd,
     )
     humans = {}
     for inst in range(test_ds.num_instances):

@@ -269,23 +269,9 @@ class MeshTrainer:
                 self.state, smpl_b, sp_b, tp_b, *rays, *nearfar, *tgt, keys
             )
             logs.append((terms, psnr))
-        mean = lambda xs: float(np.mean([float(x) for x in xs]))
-        out = {
-            "loss": mean([t.total for t, _ in logs]),
-            "img_loss": mean([t.img_raw for t, _ in logs]),
-            "acc_loss": mean([t.acc for t, _ in logs]),
-            "psnr": mean([p for _, p in logs]),
-            "normal_smooth_loss": mean([t.normal_smooth for t, _ in logs]),
-            "smpl_normal_loss": mean([t.smpl_normal for t, _ in logs]),
-            # terms are item-MEANED then pmean'd, so this is the mean
-            # drop count across sharded items; > 0 still means some
-            # shard's gradient was truncated
-            "n_dropped": max(float(t.n_dropped) for t, _ in logs),
-        }
-        from mpsnerf_tpu.train.trainer import check_train_overflow
+        from mpsnerf_tpu.train.trainer import summarize_item_logs
 
-        check_train_overflow(out["n_dropped"], int(self.state.step))
-        return out
+        return summarize_item_logs(logs, int(self.state.step))
 
 
 def make_sharded_render(model, mesh: Mesh, n_samples: int, chunk: int = 0,

@@ -73,17 +73,20 @@ def render_rays(
 
     viewdirs = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
 
-    def query(pts, s):
+    def query(pts, normals):
         vd = jnp.broadcast_to(viewdirs[:, None, :], pts.shape).reshape(-1, 3)
         return model.apply(
             variables, smpl, sp_input, tp_input, latent,
             pts.reshape(-1, 3), vd,
-            train=train, compute_normals=compute_normals, method="query",
+            train=train, compute_normals=normals, method="query",
         )
 
+    coarse_dropped = None
     if n_importance > 0:
         pts = rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., None]
-        coarse_raw: RawOutput = query(pts, n_samples)
+        # only the coarse WEIGHTS are consumed — skip the normals vjp
+        coarse_raw: RawOutput = query(pts, False)
+        coarse_dropped = getattr(coarse_raw, "n_dropped", None)
         coarse = composite_rays(
             coarse_raw.rgb.reshape(r, n_samples, 3),
             coarse_raw.sigma.reshape(r, n_samples),
@@ -100,7 +103,12 @@ def render_rays(
         n_samples = n_samples + n_importance
 
     pts = rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., None]
-    raw: RawOutput = query(pts, n_samples)
+    raw: RawOutput = query(pts, compute_normals)
+    if (coarse_dropped is not None
+            and getattr(raw, "n_dropped", None) is not None):
+        # a truncated coarse pass corrupts fine sample placement even if
+        # the fine query itself fits — surface BOTH passes' overflow
+        raw = raw._replace(n_dropped=raw.n_dropped + coarse_dropped)
 
     out = composite_rays(
         raw.rgb.reshape(r, n_samples, 3),

@@ -50,7 +50,7 @@ class LossTerms(NamedTuple):
     # in-body points lost to compaction-capacity overflow in this step's
     # forward(s) — float so the batched/pmean'd steps can average it; any
     # value > 0 means the gradient came from a silently truncated point
-    # set (the trainer makes this loud — see Trainer._check_overflow)
+    # set (made loud by trainer.check_train_overflow)
     n_dropped: jnp.ndarray = 0.0
 
 

@@ -45,6 +45,10 @@ class TrainConfig:
     lrate: float = 5e-4
     decay_steps: int = 30000
     n_samples: int = 128
+    # hierarchical pass (NeRF §5.2): extra importance samples from the
+    # coarse weights.  0 = reference parity (it accepts --N_importance
+    # but never consumes it, run_nerf_batch.py:401-444)
+    n_importance: int = 0
     perturb: float = 1.0
     occupancy: bool = False
     white_bkgd: bool = False
@@ -185,7 +189,7 @@ def make_loss_fn(model: MPSNeRF, cfg: TrainConfig, smooth: bool):
 
     def loss_fn(params, batch_stats, smpl, sp_input, tp_input,
                 rays_o, rays_d, near, far, target_rgb, bkgd_msk, key):
-        key_z, key_delta = jax.random.split(key)
+        key_z, key_delta, key_imp = jax.random.split(key, 3)
         variables = {"params": params, "batch_stats": batch_stats}
         latent, mutated = model.apply(
             variables, sp_input["img_all"], train=True,
@@ -199,35 +203,66 @@ def make_loss_fn(model: MPSNeRF, cfg: TrainConfig, smooth: bool):
         z_vals = stratified_z_vals(
             key_z, near[:, None], far[:, None], cfg.n_samples, cfg.perturb
         )
-        pts = rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., None]
         viewdirs = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
-        vd_flat = jnp.broadcast_to(
-            viewdirs[:, None, :], pts.shape
-        ).reshape(-1, 3)
-        pts_flat = pts.reshape(-1, 3)
 
-        def query(p):
+        def query(p, normals):
+            vd = jnp.broadcast_to(
+                viewdirs[:, None, :], (r, p.shape[0] // r, 3)
+            ).reshape(-1, 3)
             out, mut = model.apply(
                 {"params": params, "batch_stats": bs["stats"]},
-                smpl, sp_input, tp_input, latent, p, vd_flat,
-                train=True, compute_normals=smooth,
+                smpl, sp_input, tp_input, latent, p, vd,
+                train=True, compute_normals=normals,
                 method="query", mutable=["batch_stats"],
             )
             bs["stats"] = mut["batch_stats"]
             return out
 
-        raw: RawOutput = query(pts_flat)
+        n_s = cfg.n_samples
+        if cfg.n_importance > 0:
+            # hierarchical pass under grad: coarse weights place the
+            # importance samples; the loss renders the sorted union
+            from mpsnerf_tpu.ops.composite import sample_pdf
+
+            pts_c = (rays_o[:, None, :]
+                     + rays_d[:, None, :] * z_vals[..., None])
+            coarse_raw: RawOutput = query(pts_c.reshape(-1, 3), False)
+            coarse = composite_rays(
+                coarse_raw.rgb.reshape(r, n_s, 3),
+                coarse_raw.sigma.reshape(r, n_s),
+                z_vals, rays_d,
+                occupancy=cfg.occupancy, white_bkgd=cfg.white_bkgd,
+            )
+            mids = 0.5 * (z_vals[..., 1:] + z_vals[..., :-1])
+            z_fine = sample_pdf(
+                key_imp, mids, coarse.weights[..., 1:-1],
+                cfg.n_importance, det=(cfg.perturb == 0.0),
+            )
+            z_vals = jnp.sort(jnp.concatenate(
+                [z_vals, jax.lax.stop_gradient(z_fine)], -1), -1)
+            n_s = n_s + cfg.n_importance
+
+        pts = rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., None]
+        pts_flat = pts.reshape(-1, 3)
+
+        raw: RawOutput = query(pts_flat, smooth)
+        if cfg.n_importance > 0:
+            # a truncated coarse pass corrupts fine sample placement —
+            # surface its overflow alongside the fine query's
+            raw = raw._replace(
+                n_dropped=raw.n_dropped + coarse_raw.n_dropped
+            )
         raw_perturbed = None
         if smooth:
             # ref run_nerf_batch.py:64-67: Normal(0, 0.01) world jitter
             delta = 0.01 * jax.random.normal(
                 key_delta, pts_flat.shape, pts_flat.dtype
             )
-            raw_perturbed = query(pts_flat + delta)
+            raw_perturbed = query(pts_flat + delta, smooth)
 
         out = composite_rays(
-            raw.rgb.reshape(r, cfg.n_samples, 3),
-            raw.sigma.reshape(r, cfg.n_samples),
+            raw.rgb.reshape(r, n_s, 3),
+            raw.sigma.reshape(r, n_s),
             z_vals,
             rays_d,
             occupancy=cfg.occupancy,
@@ -284,9 +319,12 @@ def check_train_overflow(n_dropped: float, step: int) -> None:
     import sys
 
     policy = os.environ.get("MPSNERF_TRAIN_OVERFLOW", "warn")
+    # g-format, not int(): a mesh trainer reports the pmean over shards,
+    # so one shard's 7 dropped points arrive here as 0.875
     msg = (
-        f"[TRAIN] step {step}: compaction overflow — {int(n_dropped)} "
-        f"in-body points dropped; gradients are truncated. Raise the "
+        f"[TRAIN] step {step}: compaction overflow — {float(n_dropped):g} "
+        f"in-body points dropped (mesh runs report the cross-shard mean); "
+        f"gradients are truncated. Raise the "
         f"model's compact_fraction (or set MPSNERF_TRAIN_OVERFLOW=raise "
         f"to abort / =ignore to silence)."
     )
@@ -294,6 +332,28 @@ def check_train_overflow(n_dropped: float, step: int) -> None:
         raise RuntimeError(msg)
     if policy != "ignore":
         print(msg, file=sys.stderr)
+
+
+def summarize_item_logs(logs, step: int) -> Dict:
+    """Average one item's per-view ``(terms, psnr)`` pairs into the
+    [TRAIN]-line dict and run the overflow check.  Shared by
+    :class:`Trainer` and ``parallel.mesh.MeshTrainer`` so a new
+    ``LossTerms`` field can't be logged by one and dropped by the other.
+    ``n_dropped`` is the max over views: on a mesh the terms are already
+    pmean'd, so the value is the cross-shard MEAN drop count — any
+    value > 0 still means some shard's gradient was truncated."""
+    mean = lambda xs: float(np.mean([float(x) for x in xs]))
+    out = {
+        "loss": mean([t.total for t, _ in logs]),
+        "img_loss": mean([t.img_raw for t, _ in logs]),
+        "acc_loss": mean([t.acc for t, _ in logs]),
+        "psnr": mean([p for _, p in logs]),
+        "normal_smooth_loss": mean([t.normal_smooth for t, _ in logs]),
+        "smpl_normal_loss": mean([t.smpl_normal for t, _ in logs]),
+        "n_dropped": max(float(t.n_dropped) for t, _ in logs),
+    }
+    check_train_overflow(out["n_dropped"], step)
+    return out
 
 
 class Trainer:
@@ -348,15 +408,4 @@ class Trainer:
                 sub,
             )
             logs.append((terms, psnr))
-        mean = lambda xs: float(np.mean([float(x) for x in xs]))
-        out = {
-            "loss": mean([t.total for t, _ in logs]),
-            "img_loss": mean([t.img_raw for t, _ in logs]),
-            "acc_loss": mean([t.acc for t, _ in logs]),
-            "psnr": mean([p for _, p in logs]),
-            "normal_smooth_loss": mean([t.normal_smooth for t, _ in logs]),
-            "smpl_normal_loss": mean([t.smpl_normal for t, _ in logs]),
-            "n_dropped": max(float(t.n_dropped) for t, _ in logs),
-        }
-        check_train_overflow(out["n_dropped"], self.global_step)
-        return out
+        return summarize_item_logs(logs, self.global_step)

@@ -87,6 +87,7 @@ def main(argv=None):
         lrate=args.lrate,
         decay_steps=args.decay_steps,
         n_samples=args.N_samples,
+        n_importance=args.N_importance,
         perturb=args.perturb,
         occupancy=bool(args.occupancy),
         white_bkgd=args.white_bkgd,

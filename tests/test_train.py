@@ -86,6 +86,25 @@ class TestTrainStep:
         logs = trainer.train_item(smpl, inp, inp, jax.random.PRNGKey(0))
         assert logs["smpl_normal_loss"] > 0.0
 
+    def test_hierarchical_step_trains(self, setup):
+        """--N_importance > 0 under grad: coarse query -> sample_pdf ->
+        union re-query.  The step must run (incl. the smooth double-
+        backprop variant), produce finite decreasing loss, and report
+        zero overflow on this tiny scene."""
+        _, smpl, inp, model, variables = setup
+        cfg = TrainConfig(n_samples=8, n_importance=4, smooth_loss=True,
+                          smooth_interval=4)
+        trainer = Trainer(model, cfg, variables)
+        key = jax.random.PRNGKey(7)
+        losses = []
+        for _ in range(3):
+            key, sub = jax.random.split(key)
+            logs = trainer.train_item(smpl, inp, inp, sub)
+            losses.append(logs["loss"])
+            assert logs["n_dropped"] == 0.0
+        assert np.isfinite(losses).all()
+        assert losses[-1] < losses[0]
+
 
 class TestShardedStep:
     def test_matches_single_device(self, setup):

@@ -53,6 +53,27 @@ class TestViewRenderer:
         b = r_c.render_view(variables, items[0], items[0], 1)
         np.testing.assert_allclose(a, b, atol=2e-5)
 
+    def test_hierarchical_eval_chunk_invariant(self, setup):
+        """--N_importance > 0 at eval: forces the chunked path (the
+        global plan only covers the stratified ladder), reaches the
+        render (image differs from n_importance=0), and is invariant
+        to chunk size (perturb=0 => deterministic importance z)."""
+        ds, items, smpl, model, variables = setup
+        common = dict(n_samples=8, n_importance=4,
+                      eval_compact_fraction=0.5, shuffle_rays=False)
+        r_a = ViewRenderer(model, lambda g: smpl, chunk=512, **common)
+        assert not r_a.global_compact
+        r_b = ViewRenderer(model, lambda g: smpl, chunk=2048, **common)
+        a = r_a.render_view(variables, items[0], items[0], 1)
+        b = r_b.render_view(variables, items[0], items[0], 1)
+        np.testing.assert_allclose(a, b, atol=2e-5)
+        plain = ViewRenderer(
+            model, lambda g: smpl, chunk=512, n_samples=8,
+            eval_compact_fraction=0.5, shuffle_rays=False,
+            global_compact=False,
+        ).render_view(variables, items[0], items[0], 1)
+        assert np.abs(a - plain).max() > 1e-4
+
     def test_masked_ray_mode(self, setup):
         """H36M-style rendering: only mask_at_box rays are rendered;
         unmasked pixels are exactly zero, masked ones match a full

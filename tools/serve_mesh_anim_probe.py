@@ -45,18 +45,20 @@ def _make_bundle():
     )
     item = ds.get_item(0, instance_idx=0)
     attach_body_grid(item)
-    smpl = ds.smpl_for(0)
-    inp = to_device_input(item)
-    model = MPSNeRF(
-        num_instances=1,
-        compute_dtype=os.environ.get("MPSNERF_BENCH_DTYPE", "bfloat16"),
-    )
-    variables = jax.jit(model.init, static_argnames=("train",))(
-        {"params": jax.random.PRNGKey(0)}, smpl, inp, inp,
-        jnp.zeros((8, 3)), jnp.zeros((8, 3)), train=False,
-    )
-    gender = int(np.asarray(item["gender"]))
     if not os.path.exists(os.path.join(BUNDLE_DIR, "manifest.json")):
+        # only the export needs model/variables — the cached-bundle fast
+        # path must not pay a full init compile over the tunnel
+        smpl = ds.smpl_for(0)
+        inp = to_device_input(item)
+        model = MPSNeRF(
+            num_instances=1,
+            compute_dtype=os.environ.get("MPSNERF_BENCH_DTYPE", "bfloat16"),
+        )
+        variables = jax.jit(model.init, static_argnames=("train",))(
+            {"params": jax.random.PRNGKey(0)}, smpl, inp, inp,
+            jnp.zeros((8, 3)), jnp.zeros((8, 3)), train=False,
+        )
+        gender = int(np.asarray(item["gender"]))
         export_serving_bundle(
             BUNDLE_DIR, model, variables, {gender: smpl}, dict(item),
             dict(item), chunk=4096, n_samples=128,

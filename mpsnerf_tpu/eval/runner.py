@@ -653,7 +653,7 @@ def run_thuman_eval(
 
     renderer = ViewRenderer(
         model, smpl_selector, chunk=args.chunk, n_samples=args.N_samples,
-        n_importance=args.N_importance,
+        n_importance=getattr(args, "N_importance", 0),
         white_bkgd=args.white_bkgd,
     )
 
@@ -757,7 +757,7 @@ def run_h36m_eval(
     # — the capacity must match or valid samples get dropped
     renderer = ViewRenderer(
         model, smpl_selector, chunk=args.chunk, n_samples=args.N_samples,
-        n_importance=args.N_importance,
+        n_importance=getattr(args, "N_importance", 0),
         white_bkgd=args.white_bkgd, eval_compact_fraction=0.5,
     )
 
@@ -811,7 +811,7 @@ def run_legacy_test(
     os.makedirs(savedir, exist_ok=True)
     renderer = ViewRenderer(
         model, smpl_selector, chunk=args.chunk, n_samples=args.N_samples,
-        n_importance=args.N_importance,
+        n_importance=getattr(args, "N_importance", 0),
         white_bkgd=args.white_bkgd,
     )
     to8b = lambda x: (255 * np.clip(x, 0, 1)).astype(np.uint8)
@@ -894,7 +894,7 @@ def run_synthetic_eval(
     renderer = ViewRenderer(
         model, smpl_selector, chunk=min(args.chunk, 8192),
         n_samples=args.N_samples,
-        n_importance=args.N_importance, white_bkgd=args.white_bkgd,
+        n_importance=getattr(args, "N_importance", 0), white_bkgd=args.white_bkgd,
     )
     humans = {}
     for inst in range(test_ds.num_instances):

@@ -152,6 +152,45 @@ class TestShardedStep:
         # weighting of z-noise: compare losses loosely
         assert np.isfinite(float(terms2.total))
 
+    def test_hierarchical_matches_single_device(self, setup):
+        """n_importance > 0 under shard_map: the coarse weights (and so
+        the det sample_pdf z union) are per-ray, so sharded == single
+        must still hold through the double query + pmean."""
+        _, smpl, inp, model, variables = setup
+        from mpsnerf_tpu.parallel.mesh import (
+            make_mesh, make_sharded_train_step,
+            replicate_to_mesh, shard_rays_to_mesh,
+        )
+        from mpsnerf_tpu.train.trainer import make_train_step
+
+        cfg = TrainConfig(n_samples=8, n_importance=4, smooth_loss=False,
+                          perturb=0.0)
+        mesh = make_mesh(jax.devices()[:4])
+        state0 = create_train_state(model, variables, cfg)
+        k = 0
+        rays = (
+            inp["ray_o_all"][k], inp["ray_d_all"][k],
+            inp["near_all"][k][:, 0], inp["far_all"][k][:, 0],
+            inp["rgb_all"][k], inp["bkgd_msk_all"][k],
+        )
+        key = jax.random.PRNGKey(7)
+        single = jax.jit(make_train_step(model, cfg, smooth=False))
+        s1, _, _ = single(state0, smpl, inp, inp, *rays, key)
+        sharded = make_sharded_train_step(model, cfg, mesh, smooth=False)
+        s2, terms2, _ = sharded(
+            replicate_to_mesh(state0, mesh),
+            replicate_to_mesh(smpl, mesh),
+            replicate_to_mesh(inp, mesh),
+            replicate_to_mesh(inp, mesh),
+            *shard_rays_to_mesh(rays, mesh),
+            replicate_to_mesh(key, mesh),
+        )
+        diffs = jax.tree.map(
+            lambda a, b: float(jnp.abs(a - b).max()), s1.params, s2.params
+        )
+        assert max(jax.tree.leaves(diffs)) < 2e-4
+        assert np.isfinite(float(terms2.total))
+
 
 class TestCheckpoint:
     def test_save_restore_latest(self, setup, tmp_path):

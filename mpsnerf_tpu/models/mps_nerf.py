@@ -549,6 +549,14 @@ class MPSNeRF(nn.Module):
             )
 
         if compute_normals:
+            # One transposed backward pass — the form the reference's
+            # autograd.grad takes (skinnning_batch.py:496-500).  A
+            # forward-mode variant (3 tangent streams through the tail,
+            # reverse-over-forward outer grad) was built and measured
+            # round 5: mathematically identical (f64 parity 8e-8) but it
+            # OOMs HBM at train capacities (21.6G, 19.5G with remat, vs
+            # 15.75G on v5e) and costs 3 streams where this costs 1 —
+            # dead end, see ROADMAP.md.
             alpha, vjp_fn, aux = jax.vjp(tail, coarse_can, has_aux=True)
             # occ_normal = d wide_sigmoid(alpha) / d can_pts (ref :499);
             # chain rule through the vjp: cotangent = wide_sigmoid'(alpha)
